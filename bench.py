@@ -1,0 +1,119 @@
+"""Benchmark: end-to-end try-on sampling throughput on one TPU chip.
+
+Measures the canonical eval config of the reference — 512x384, DDIM 50
+steps, guidance 7.5 (reference: src/inference.py:58,86-87,
+README.md:154-175) — through the full jitted pipeline (VAE encodes,
+EMASC, 50-step scan, EMASC-aware decode) with SD-2-sized towers in
+bfloat16 and random weights (throughput is weight-independent).
+
+Prints ONE JSON line: images/sec/chip.  ``vs_baseline`` is the ratio to
+an A100 running the torch reference (no published number exists —
+BASELINE.md — so the anchor is the commonly observed ~1.75 img/s for
+batched fp16+xformers SD-2-inpainting at 512x384/50 steps; see
+BASELINE.md "Rebuild targets").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+# persistent compilation cache: the 50-step pipeline is a large XLA
+# program and this host has a single CPU core — warm-cache runs skip
+# multi-minute compiles.
+os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+REF_A100_IMG_PER_SEC = 1.75  # estimated torch reference anchor (see above)
+
+
+def main():
+    from ladi_vton_tpu.diffusion.schedulers import DDIMScheduler
+    from ladi_vton_tpu.models.emasc import EMASC
+    from ladi_vton_tpu.models.unet_condition import (
+        UNet2DCondition,
+        UNetConfig,
+        sd2_unet_config,
+    )
+    from ladi_vton_tpu.models.vae import AutoencoderKL, VAEConfig
+    from ladi_vton_tpu.pipelines.tryon import TryOnPipeline
+
+    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    if on_tpu:
+        B, H, W, steps = 8, 512, 384, 50
+        dtype = jnp.bfloat16
+        unet_cfg = sd2_unet_config(31)
+        vae_cfg = VAEConfig()
+        emasc_in = (128, 128, 128, 256, 512)
+        emasc_out = (128, 256, 512, 512, 512)
+        ctx = 1024
+    else:  # smoke mode off-TPU: tiny towers, same architecture & flow
+        B, H, W, steps = 1, 64, 64, 2
+        dtype = jnp.float32
+        unet_cfg = UNetConfig(in_channels=31,
+                              block_out_channels=(32, 64, 64, 64),
+                              head_dim=8, cross_attention_dim=64)
+        vae_cfg = VAEConfig(block_out_channels=(32, 32, 64, 64))
+        emasc_in = (32, 32, 32, 32, 64)
+        emasc_out = (32, 32, 64, 64, 64)
+        ctx = 64
+
+    rng = jax.random.key(0)
+    unet = UNet2DCondition(unet_cfg, dtype=dtype)
+    vae = AutoencoderKL(vae_cfg, dtype=dtype)
+    emasc = EMASC(in_channels=emasc_in, out_channels=emasc_out, dtype=dtype)
+    pipe = TryOnPipeline(unet=unet, vae=vae, emasc=emasc,
+                         scheduler=DDIMScheduler())
+
+    lh, lw = H // 8, W // 8
+    params = {
+        "unet": unet.init(rng, jnp.zeros((1, lh, lw, 31), dtype),
+                          jnp.asarray([0]), jnp.zeros((1, 77, ctx), dtype)),
+        "vae": vae.init(rng, jnp.zeros((1, 64, 64, 3), dtype)),
+        "emasc": emasc.init(rng, [
+            jnp.zeros((1, 8, 8, c), dtype) for c in emasc_in
+        ]),
+    }
+
+    sampler = pipe.jit_sample(num_inference_steps=steps, guidance_scale=7.5)
+    args = dict(
+        image=jnp.zeros((B, H, W, 3), dtype),
+        mask_image=jnp.ones((B, H, W, 1), dtype),
+        pose_map=jnp.zeros((B, H, W, 18), dtype),
+        warped_cloth=jnp.zeros((B, H, W, 3), dtype),
+        prompt_embeds=jnp.zeros((B, 77, ctx), dtype),
+        negative_prompt_embeds=jnp.zeros((B, 77, ctx), dtype),
+        rng=rng,
+    )
+
+    def run():
+        out = sampler(params, args["image"], args["mask_image"],
+                      args["pose_map"], args["warped_cloth"],
+                      args["prompt_embeds"], args["negative_prompt_embeds"],
+                      args["rng"])
+        out.block_until_ready()
+        return out
+
+    run()  # compile
+    n_iters = 3 if on_tpu else 1
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        run()
+    dt = (time.perf_counter() - t0) / n_iters
+    img_per_sec = B / dt
+
+    print(json.dumps({
+        "metric": "vitonhd_512x384_ddim50_images_per_sec_per_chip",
+        "value": round(img_per_sec, 4),
+        "unit": "images/sec",
+        "vs_baseline": round(img_per_sec / REF_A100_IMG_PER_SEC, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,247 @@
+"""End-to-end try-on inference CLI (hub-weights path).
+
+Mirrors the reference's ``src/inference.py`` flag surface and flow
+(reference: src/inference.py:31-96 flags, :229-324 loop, README.md
+"Inference with pre-trained models"): per batch — TPS warp at 256x192,
+grid upsample + border grid-sample at 512x384, refinement UNet, CLIP
+ViT-H vision features, inversion adapter -> 16 PTEs, PTE-injected text
+encode, 50-step DDIM try-on pipeline, per-category image save, optional
+metric computation.
+
+TPU-native differences: the whole per-batch compute (warp -> refine ->
+condition -> denoise -> decode) is ONE jitted function with static
+shapes (the last batch is padded, reference drops nothing because its
+batches are dynamic); weights load from local checkpoint dirs via
+``hub.zoo`` instead of torch.hub downloads.
+
+Extra flags over the reference (all optional, for offline weight
+routing): --checkpoint_dir, --sd2_model_dir, --clip_vision_dir,
+--tokenizer_dir.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description="Full inference script")
+    parser.add_argument("--pretrained_model_name_or_path", type=str,
+                        default="stabilityai/stable-diffusion-2-inpainting",
+                        help="Kept for flag parity; weights load from "
+                             "--sd2_model_dir.")
+    parser.add_argument("--output_dir", type=str, required=True)
+    parser.add_argument("--allow_tf32", action="store_true",
+                        help="No-op on TPU (bf16 MXU is the default).")
+    parser.add_argument("--seed", type=int, default=1234)
+    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--mixed_precision", type=str, default=None,
+                        choices=["no", "fp16", "bf16"])
+    parser.add_argument("--enable_xformers_memory_efficient_attention",
+                        action="store_true",
+                        help="No-op: Pallas flash attention is default-on.")
+    parser.add_argument("--dresscode_dataroot", type=str)
+    parser.add_argument("--vitonhd_dataroot", type=str)
+    parser.add_argument("--num_workers", type=int, default=8)
+    parser.add_argument("--num_vstar", default=16, type=int)
+    parser.add_argument("--test_order", type=str, required=True,
+                        choices=["unpaired", "paired"])
+    parser.add_argument("--dataset", type=str, required=True,
+                        choices=["dresscode", "vitonhd"])
+    parser.add_argument("--category", type=str, default="all",
+                        choices=["all", "lower_body", "upper_body",
+                                 "dresses"])
+    parser.add_argument("--use_png", default=False, action="store_true")
+    parser.add_argument("--num_inference_steps", default=50, type=int)
+    parser.add_argument("--guidance_scale", default=7.5, type=float)
+    parser.add_argument("--compute_metrics", default=False,
+                        action="store_true")
+    # offline weight routing (this framework has no hub downloads by default)
+    parser.add_argument("--checkpoint_dir", type=str, default=None,
+                        help="Directory with {unet,emasc,inversion_adapter,"
+                             "warping}_<dataset>.pth")
+    parser.add_argument("--sd2_model_dir", type=str, required=False,
+                        help="Local SD-2-inpainting model directory "
+                             "(vae/, text_encoder/, tokenizer/)")
+    parser.add_argument("--clip_vision_dir", type=str, required=False,
+                        help="Local CLIP-ViT-H-14 model directory")
+    parser.add_argument("--tokenizer_dir", type=str, default=None,
+                        help="Directory with vocab.json + merges.txt "
+                             "(defaults to <sd2_model_dir>/tokenizer)")
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.dataset == "vitonhd" and args.vitonhd_dataroot is None:
+        raise ValueError("VitonHD dataroot must be provided")
+    if args.dataset == "dresscode" and args.dresscode_dataroot is None:
+        raise ValueError("DressCode dataroot must be provided")
+
+    import jax
+    import jax.numpy as jnp
+
+    from ladi_vton_tpu.core.dtypes import default_policy
+    from ladi_vton_tpu.core.rng import set_seed
+    from ladi_vton_tpu.data import BatchLoader, DressCodeDataset, VitonHDDataset
+    from ladi_vton_tpu.diffusion.schedulers import DDIMScheduler
+    from ladi_vton_tpu.diffusion.text import encode_text_word_embedding
+    from ladi_vton_tpu.hub import zoo
+    from ladi_vton_tpu.models.tps import ConvNetTPS  # noqa: F401 (docs)
+    from ladi_vton_tpu.ops.grid_sample import grid_sample
+    from ladi_vton_tpu.ops.resize import resize_bilinear
+    from ladi_vton_tpu.pipelines.tryon import TryOnPipeline
+    from ladi_vton_tpu.utils.tokenizer import CLIPTokenizer
+    from ladi_vton_tpu.data.labels import CATEGORY_PROMPT_TEXT
+
+    policy = default_policy(args.mixed_precision or "bf16")
+    dtype = policy.compute_dtype
+    root_key = set_seed(args.seed)
+
+    # --- load towers
+    unet, unet_vars = zoo.extended_unet(args.dataset,
+                                        checkpoint_dir=args.checkpoint_dir,
+                                        dtype=dtype)
+    emasc, emasc_vars = zoo.emasc(args.dataset,
+                                  checkpoint_dir=args.checkpoint_dir,
+                                  dtype=dtype)
+    adapter, adapter_vars = zoo.inversion_adapter(
+        args.dataset, checkpoint_dir=args.checkpoint_dir, dtype=dtype)
+    (tps, tps_vars), (refinement, ref_vars) = zoo.warping_module(
+        args.dataset, checkpoint_dir=args.checkpoint_dir)
+    vae, vae_vars = zoo.sd2_vae(args.sd2_model_dir, dtype=dtype)
+    text_model, text_vars = zoo.sd2_text_encoder(args.sd2_model_dir,
+                                                 dtype=dtype)
+    vision, vision_vars = zoo.clip_vit_h_vision(args.clip_vision_dir,
+                                                dtype=dtype)
+    tokenizer = CLIPTokenizer.from_dir(
+        args.tokenizer_dir or str(Path(args.sd2_model_dir) / "tokenizer"))
+
+    pipe = TryOnPipeline(unet=unet, vae=vae, emasc=emasc,
+                         scheduler=DDIMScheduler())
+    params = {"unet": unet_vars, "vae": vae_vars, "emasc": emasc_vars}
+
+    # --- dataset
+    categories = ([args.category] if args.category != "all"
+                  else ["dresses", "upper_body", "lower_body"])
+    outputlist = ["image", "pose_map", "inpaint_mask", "im_mask",
+                  "category", "im_name", "cloth"]
+    if args.dataset == "dresscode":
+        dataset = DressCodeDataset(args.dresscode_dataroot, phase="test",
+                                   order=args.test_order, radius=5,
+                                   outputlist=outputlist,
+                                   category=categories, size=(512, 384))
+    else:
+        dataset = VitonHDDataset(args.vitonhd_dataroot, phase="test",
+                                 order=args.test_order, radius=5,
+                                 outputlist=outputlist, size=(512, 384))
+    loader = BatchLoader(dataset, args.batch_size,
+                         num_workers=args.num_workers, pad_last=True)
+
+    # CLIP preprocessing constants (openai CLIP normalization)
+    clip_mean = jnp.asarray([0.48145466, 0.4578275, 0.40821073], dtype)
+    clip_std = jnp.asarray([0.26862954, 0.26130258, 0.27577711], dtype)
+
+    @jax.jit
+    def generate(image, inpaint_mask, pose_map, cloth, im_mask,
+                 input_ids, rng):
+        # 1. TPS warp at low res (reference src/inference.py:242-260)
+        low_cloth = resize_bilinear(cloth, (256, 192)).astype(jnp.float32)
+        low_mask = resize_bilinear(im_mask, (256, 192)).astype(jnp.float32)
+        low_pose = resize_bilinear(pose_map, (256, 192)).astype(jnp.float32)
+        agnostic = jnp.concatenate([low_mask, low_pose], axis=-1)
+        low_grid, *_ = tps.apply(tps_vars, low_cloth, agnostic)
+        grid = resize_bilinear(low_grid, (512, 384))
+        warped = grid_sample(cloth.astype(jnp.float32), grid,
+                             padding_mode="border")
+        # 2. refinement (reference :263-266)
+        ref_in = jnp.concatenate(
+            [im_mask.astype(jnp.float32), pose_map.astype(jnp.float32),
+             warped], axis=-1)
+        warped = refinement.apply(ref_vars, ref_in)
+        warped = jnp.clip(warped, -1.0, 1.0).astype(dtype)
+        # 3. CLIP vision -> PTEs (reference :269-277)
+        clip_in = resize_bilinear((cloth + 1.0) * 0.5, (224, 224))
+        clip_in = jnp.clip(clip_in, 0.0, 1.0)
+        clip_in = ((clip_in - clip_mean) / clip_std).astype(dtype)
+        vis_feats = vision.apply(vision_vars, clip_in)
+        ptes = adapter.apply(adapter_vars, vis_feats)
+        # 4. PTE-injected text encoding (reference :294-295)
+        ehs, _ = encode_text_word_embedding(text_model, text_vars,
+                                            input_ids, ptes,
+                                            args.num_vstar)
+        uncond_ids = jnp.broadcast_to(empty_ids, input_ids.shape)
+        neg_ehs, _ = text_model.apply(text_vars, uncond_ids)
+        # 5. try-on pipeline (reference :298-311)
+        return pipe.sample(
+            params,
+            image=image.astype(dtype),
+            mask_image=inpaint_mask.astype(dtype),
+            pose_map=pose_map.astype(dtype),
+            warped_cloth=warped,
+            prompt_embeds=ehs,
+            negative_prompt_embeds=neg_ehs,
+            rng=rng,
+            num_inference_steps=args.num_inference_steps,
+            guidance_scale=args.guidance_scale,
+        )
+
+    empty_ids = jnp.asarray(tokenizer([""])[0])
+
+    save_dir = os.path.join(args.output_dir, args.test_order)
+    os.makedirs(save_dir, exist_ok=True)
+
+    from PIL import Image
+    from tqdm import tqdm
+
+    seen: set[str] = set()
+    for step, batch in enumerate(tqdm(loader)):
+        prompts = [
+            f'a photo of a model wearing {CATEGORY_PROMPT_TEXT[c]} '
+            f'{" $ " * args.num_vstar}'
+            for c in batch["category"]
+        ]
+        input_ids = jnp.asarray(tokenizer(prompts))
+        rng = jax.random.fold_in(root_key, step)
+        images = generate(
+            jnp.asarray(batch["image"]),
+            jnp.asarray(batch["inpaint_mask"]),
+            jnp.asarray(batch["pose_map"]),
+            jnp.asarray(batch["cloth"]),
+            jnp.asarray(batch["im_mask"]),
+            input_ids, rng)
+        images = np.asarray(images)
+        for img, cat, name in zip(images, batch["category"],
+                                  batch["im_name"]):
+            if name in seen:  # padded duplicate from the last batch
+                continue
+            seen.add(name)
+            cat_dir = os.path.join(save_dir, cat)
+            os.makedirs(cat_dir, exist_ok=True)
+            pil = Image.fromarray((img * 255).round().astype(np.uint8))
+            if args.use_png:
+                pil.save(os.path.join(cat_dir, name.replace(".jpg", ".png")))
+            else:
+                pil.save(os.path.join(cat_dir, name), quality=95)
+
+    if args.compute_metrics:
+        from ladi_vton_tpu.metrics.compute import compute_metrics
+
+        metrics = compute_metrics(save_dir, args.test_order, args.dataset,
+                                  args.category, ["all"],
+                                  args.dresscode_dataroot,
+                                  args.vitonhd_dataroot)
+        with open(os.path.join(
+                save_dir,
+                f"metrics_{args.test_order}_{args.category}.json"),
+                "w+") as f:
+            json.dump(metrics, f, indent=4)
+
+
+if __name__ == "__main__":
+    main()

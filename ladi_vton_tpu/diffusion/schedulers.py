@@ -1,0 +1,163 @@
+"""DDPM (training) and DDIM (sampling) noise schedulers.
+
+Functional JAX re-design of the schedulers the reference pulls from
+diffusers (DDIM at src/inference.py:123, DDPM at
+src/train_vto.py:243-247).  All state is precomputed arrays on a frozen
+dataclass; ``step`` is pure and shape-static so the whole 50-step sample
+loop compiles into one XLA program (``lax.scan`` in pipelines.tryon).
+
+SD-2 config: scaled_linear betas 0.00085 -> 0.012 over 1000 steps,
+epsilon prediction, steps_offset=1, no clip_sample,
+set_alpha_to_one=False.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class SchedulerConfig:
+    num_train_timesteps: int = 1000
+    beta_start: float = 0.00085
+    beta_end: float = 0.012
+    beta_schedule: str = "scaled_linear"
+    prediction_type: str = "epsilon"  # 'epsilon' | 'v_prediction'
+    steps_offset: int = 1
+    set_alpha_to_one: bool = False
+    clip_sample: bool = False
+
+
+def _make_alphas_cumprod(cfg: SchedulerConfig) -> np.ndarray:
+    if cfg.beta_schedule == "scaled_linear":
+        betas = (
+            np.linspace(
+                cfg.beta_start ** 0.5,
+                cfg.beta_end ** 0.5,
+                cfg.num_train_timesteps,
+                dtype=np.float64,
+            )
+            ** 2
+        )
+    elif cfg.beta_schedule == "linear":
+        betas = np.linspace(cfg.beta_start, cfg.beta_end,
+                            cfg.num_train_timesteps, dtype=np.float64)
+    else:
+        raise ValueError(f"unknown beta schedule {cfg.beta_schedule!r}")
+    return np.cumprod(1.0 - betas).astype(np.float32)
+
+
+class DDPMScheduler:
+    """Forward (noising) process + ancestral step; used for training."""
+
+    def __init__(self, config: SchedulerConfig = SchedulerConfig()):
+        self.config = config
+        self.alphas_cumprod = jnp.asarray(_make_alphas_cumprod(config))
+
+    def add_noise(self, sample: jax.Array, noise: jax.Array,
+                  timesteps: jax.Array) -> jax.Array:
+        """q(x_t | x_0): sqrt(a_t) x0 + sqrt(1-a_t) eps."""
+        a = self.alphas_cumprod[timesteps].astype(sample.dtype)
+        while a.ndim < sample.ndim:
+            a = a[..., None]
+        return jnp.sqrt(a) * sample + jnp.sqrt(1.0 - a) * noise
+
+    def get_velocity(self, sample: jax.Array, noise: jax.Array,
+                     timesteps: jax.Array) -> jax.Array:
+        """v-prediction target: sqrt(a) eps - sqrt(1-a) x0."""
+        a = self.alphas_cumprod[timesteps].astype(sample.dtype)
+        while a.ndim < sample.ndim:
+            a = a[..., None]
+        return jnp.sqrt(a) * noise - jnp.sqrt(1.0 - a) * sample
+
+
+class DDIMScheduler:
+    """Deterministic DDIM sampler with a static timestep plan.
+
+    ``set_timesteps(n)`` precomputes the integer timestep vector (same
+    spacing rule as diffusers: stride = T // n, +steps_offset); ``step``
+    is pure so it can live inside ``lax.scan``.
+    """
+
+    def __init__(self, config: SchedulerConfig = SchedulerConfig()):
+        self.config = config
+        self.alphas_cumprod = jnp.asarray(_make_alphas_cumprod(config))
+        self.final_alpha_cumprod = (
+            jnp.asarray(1.0, jnp.float32)
+            if config.set_alpha_to_one
+            else self.alphas_cumprod[0]
+        )
+        self.init_noise_sigma = 1.0
+
+    def set_timesteps(self, num_inference_steps: int) -> jax.Array:
+        T = self.config.num_train_timesteps
+        step_ratio = T // num_inference_steps
+        timesteps = (
+            (np.arange(num_inference_steps) * step_ratio)
+            .round()[::-1]
+            .copy()
+            .astype(np.int64)
+        )
+        timesteps += self.config.steps_offset
+        self.num_inference_steps = num_inference_steps
+        return jnp.asarray(timesteps)
+
+    def scale_model_input(self, sample: jax.Array, t: jax.Array) -> jax.Array:
+        return sample  # DDIM does not scale
+
+    def step(
+        self,
+        model_output: jax.Array,
+        timestep: jax.Array,
+        sample: jax.Array,
+        *,
+        eta: float = 0.0,
+        noise: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """One x_t -> x_{t-stride} update (epsilon or v parametrization)."""
+        cfg = self.config
+        stride = cfg.num_train_timesteps // self.num_inference_steps
+        prev_timestep = timestep - stride
+
+        a_t = self.alphas_cumprod[timestep].astype(jnp.float32)
+        a_prev = jnp.where(
+            prev_timestep >= 0,
+            self.alphas_cumprod[jnp.maximum(prev_timestep, 0)],
+            self.final_alpha_cumprod,
+        ).astype(jnp.float32)
+        beta_t = 1.0 - a_t
+
+        sample_f = sample.astype(jnp.float32)
+        out_f = model_output.astype(jnp.float32)
+
+        if cfg.prediction_type == "epsilon":
+            x0 = (sample_f - jnp.sqrt(beta_t) * out_f) / jnp.sqrt(a_t)
+            eps = out_f
+        elif cfg.prediction_type == "v_prediction":
+            x0 = jnp.sqrt(a_t) * sample_f - jnp.sqrt(beta_t) * out_f
+            eps = jnp.sqrt(a_t) * out_f + jnp.sqrt(beta_t) * sample_f
+        else:
+            raise ValueError(cfg.prediction_type)
+
+        if cfg.clip_sample:
+            x0 = jnp.clip(x0, -1.0, 1.0)
+
+        if eta > 0.0:
+            variance = (beta_t / (1.0 - a_prev)) * (1.0 - a_prev / a_t)
+            sigma = eta * jnp.sqrt(
+                jnp.clip((1.0 - a_prev) / (1.0 - a_t) * (1.0 - a_t / a_prev),
+                         0.0)
+            )
+        else:
+            sigma = jnp.asarray(0.0, jnp.float32)
+
+        dir_xt = jnp.sqrt(jnp.clip(1.0 - a_prev - sigma**2, 0.0)) * eps
+        prev = jnp.sqrt(a_prev) * x0 + dir_xt
+        if eta > 0.0 and noise is not None:
+            prev = prev + sigma * noise.astype(jnp.float32)
+        return prev.astype(sample.dtype)

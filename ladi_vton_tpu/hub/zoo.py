@@ -1,0 +1,186 @@
+"""Model zoo: named builders + weight loading (hubconf equivalent).
+
+The reference exposes four torch.hub entry points that build the
+architecture and pull a ``.pth`` from the GitHub release
+(reference: hubconf.py:16-64).  Here each builder returns
+``(module, variables)`` — a Flax module plus converted parameters —
+loading from, in order of preference:
+
+1. a local checkpoint path (``checkpoint=...``),
+2. a checkpoint directory (``checkpoint_dir/<name>_<dataset>.pth``),
+3. the reference's release URL (same files, downloaded only if the
+   environment has network access).
+
+SD-2-inpainting tower weights (VAE / text encoder / stock UNet) load
+via ``sd2_*`` helpers from a local diffusers-style model directory.
+"""
+
+from __future__ import annotations
+
+import os
+import urllib.request
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ladi_vton_tpu.hub import convert as C
+from ladi_vton_tpu.models.clip import (
+    CLIPTextModel,
+    CLIPVisionModel,
+    sd2_text_config,
+    vit_h_vision_config,
+)
+from ladi_vton_tpu.models.emasc import EMASC
+from ladi_vton_tpu.models.inversion_adapter import InversionAdapter
+from ladi_vton_tpu.models.refinement import UNetVanilla
+from ladi_vton_tpu.models.tps import ConvNetTPS
+from ladi_vton_tpu.models.unet_condition import UNet2DCondition, sd2_unet_config
+from ladi_vton_tpu.models.vae import AutoencoderKL, VAEConfig
+
+RELEASE_URL = "https://github.com/miccunifi/ladi-vton/releases/download/weights"
+
+
+def _resolve_checkpoint(name: str, dataset: str,
+                        checkpoint: Optional[str],
+                        checkpoint_dir: Optional[str]) -> str:
+    if checkpoint:
+        return checkpoint
+    fname = f"{name}_{dataset}.pth"
+    if checkpoint_dir:
+        local = Path(checkpoint_dir) / fname
+        if local.exists():
+            return str(local)
+    cache = Path(os.environ.get("LADI_VTON_CACHE",
+                                Path.home() / ".cache" / "ladi_vton_tpu"))
+    cache.mkdir(parents=True, exist_ok=True)
+    target = cache / fname
+    if not target.exists():
+        url = f"{RELEASE_URL}/{fname}"
+        print(f"downloading {url} -> {target}")
+        urllib.request.urlretrieve(url, target)
+    return str(target)
+
+
+def _to_jax(variables: dict, dtype=None) -> dict:
+    def cast(x):
+        arr = jnp.asarray(x)
+        if dtype is not None and jnp.issubdtype(arr.dtype, jnp.floating):
+            arr = arr.astype(dtype)
+        return arr
+
+    return jax.tree_util.tree_map(cast, variables)
+
+
+def extended_unet(dataset: str = "vitonhd", *, checkpoint=None,
+                  checkpoint_dir=None, param_dtype=jnp.float32,
+                  dtype=jnp.bfloat16):
+    """31-channel SD-2 UNet with trained try-on weights
+    (reference hubconf.py:30-37)."""
+    unet = UNet2DCondition(sd2_unet_config(31), dtype=dtype,
+                           param_dtype=param_dtype)
+    path = _resolve_checkpoint("unet", dataset, checkpoint, checkpoint_dir)
+    variables = C.convert_unet(C.load_torch_state(path))
+    variables = C.widen_conv_in(variables, 31)
+    return unet, _to_jax(variables, param_dtype)
+
+
+def emasc(dataset: str = "vitonhd", *, checkpoint=None, checkpoint_dir=None,
+          param_dtype=jnp.float32, dtype=jnp.bfloat16):
+    """Nonlinear EMASC with the reference channel plan
+    (reference hubconf.py:40-53)."""
+    module = EMASC(dtype=dtype, param_dtype=param_dtype)
+    path = _resolve_checkpoint("emasc", dataset, checkpoint, checkpoint_dir)
+    variables = C.convert_emasc(C.load_torch_state(path), kind="nonlinear")
+    return module, _to_jax(variables, param_dtype)
+
+
+def inversion_adapter(dataset: str = "vitonhd", *, checkpoint=None,
+                      checkpoint_dir=None, param_dtype=jnp.float32,
+                      dtype=jnp.bfloat16):
+    """CLIP ViT-H/14 -> 16 PTEs in SD-2 text space
+    (reference hubconf.py:16-27)."""
+    module = InversionAdapter(input_dim=1280, hidden_dim=1280 * 4,
+                              output_dim=1024 * 16, num_encoder_layers=1,
+                              vision_config=vit_h_vision_config(),
+                              dtype=dtype, param_dtype=param_dtype)
+    path = _resolve_checkpoint("inversion_adapter", dataset, checkpoint,
+                               checkpoint_dir)
+    variables = C.convert_inversion_adapter(C.load_torch_state(path))
+    return module, _to_jax(variables, param_dtype)
+
+
+def warping_module(dataset: str = "vitonhd", *, checkpoint=None,
+                   checkpoint_dir=None, param_dtype=jnp.float32):
+    """(ConvNetTPS, UNetVanilla refinement) with trained weights
+    (reference hubconf.py:56-64).  Runs fp32 like the reference
+    (src/inference.py:197-198)."""
+    import torch
+
+    path = _resolve_checkpoint("warping", dataset, checkpoint,
+                               checkpoint_dir)
+    bundle = torch.load(path, map_location="cpu", weights_only=True)
+    tps_state = {k: v.detach().float().numpy()
+                 for k, v in bundle["tps"].items()}
+    ref_state = {k: v.detach().float().numpy()
+                 for k, v in bundle["refinement"].items()}
+    tps = ConvNetTPS(height=256, width=192, input_nc_b=21,
+                     param_dtype=param_dtype)
+    refinement = UNetVanilla(out_channels=3, bilinear=True,
+                             param_dtype=param_dtype)
+    return ((tps, _to_jax(C.convert_tps(tps_state), param_dtype)),
+            (refinement, _to_jax(C.convert_refinement(ref_state),
+                                 param_dtype)))
+
+
+# ---------------------------------------------------------- SD-2 base towers
+
+
+def _load_model_dir_state(model_dir: str, subfolder: str):
+    """Load a diffusers/transformers subfolder checkpoint to numpy."""
+    import torch
+
+    folder = Path(model_dir) / subfolder
+    for fname in ("diffusion_pytorch_model.bin", "pytorch_model.bin",
+                  "diffusion_pytorch_model.safetensors",
+                  "model.safetensors"):
+        path = folder / fname
+        if path.exists():
+            if fname.endswith(".safetensors"):
+                from safetensors.torch import load_file
+
+                state = load_file(str(path))
+            else:
+                state = torch.load(str(path), map_location="cpu",
+                                   weights_only=True)
+            return {k: v.detach().float().numpy() for k, v in state.items()}
+    raise FileNotFoundError(f"no checkpoint under {folder}")
+
+
+def sd2_vae(model_dir: str, *, param_dtype=jnp.float32,
+            dtype=jnp.bfloat16):
+    """EMASC-aware VAE with SD-2-inpainting weights
+    (reference src/inference.py:126)."""
+    vae = AutoencoderKL(VAEConfig(), dtype=dtype, param_dtype=param_dtype)
+    variables = C.convert_vae(_load_model_dir_state(model_dir, "vae"))
+    return vae, _to_jax(variables, param_dtype)
+
+
+def sd2_text_encoder(model_dir: str, *, param_dtype=jnp.float32,
+                     dtype=jnp.bfloat16):
+    model = CLIPTextModel(sd2_text_config(), dtype=dtype,
+                          param_dtype=param_dtype)
+    variables = C.convert_clip_text(
+        _load_model_dir_state(model_dir, "text_encoder"))
+    return model, _to_jax(variables, param_dtype)
+
+
+def clip_vit_h_vision(model_dir: str, *, param_dtype=jnp.float32,
+                      dtype=jnp.bfloat16):
+    """laion/CLIP-ViT-H-14 vision tower (reference src/inference.py:127)."""
+    model = CLIPVisionModel(vit_h_vision_config(), dtype=dtype,
+                            param_dtype=param_dtype)
+    variables = C.convert_clip_vision(_load_model_dir_state(model_dir, ""))
+    return model, _to_jax(variables, param_dtype)

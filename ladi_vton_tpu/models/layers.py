@@ -1,0 +1,341 @@
+"""Shared NHWC Flax building blocks for the diffusion towers.
+
+These are original TPU-first implementations of the block vocabulary the
+reference consumes from diffusers (ResnetBlock2D, Transformer2D blocks,
+up/down-sampling, timestep embeddings — reference: src/models/vae.py:22-23
+imports, diffusers UNet2DConditionModel used at src/train_vto.py:252-257).
+Everything is NHWC (channels-last — the TPU conv layout), computes in the
+policy dtype, and keeps parameter naming aligned with the corresponding
+torch modules so checkpoint conversion is a pure name/layout map.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ladi_vton_tpu.ops.attention import dot_product_attention
+
+
+def timestep_embedding(
+    timesteps: jax.Array,
+    dim: int,
+    *,
+    flip_sin_to_cos: bool = True,
+    downscale_freq_shift: float = 0.0,
+    max_period: int = 10000,
+) -> jax.Array:
+    """Sinusoidal timestep features, matching diffusers' convention."""
+    half = dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - downscale_freq_shift)
+    freqs = jnp.exp(exponent)
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None, :]
+    emb = jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+    if flip_sin_to_cos:
+        emb = jnp.concatenate([emb[:, half:], emb[:, :half]], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+class TimestepEmbedding(nn.Module):
+    """linear_1 -> silu -> linear_2 MLP over sinusoidal features."""
+
+    embed_dim: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, sample: jax.Array) -> jax.Array:
+        sample = nn.Dense(self.embed_dim, dtype=self.dtype,
+                          param_dtype=self.param_dtype, name="linear_1")(sample)
+        sample = nn.silu(sample)
+        sample = nn.Dense(self.embed_dim, dtype=self.dtype,
+                          param_dtype=self.param_dtype, name="linear_2")(sample)
+        return sample
+
+
+class GroupNorm(nn.Module):
+    """GroupNorm over the channel (last) axis, stats in fp32."""
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        orig_dtype = x.dtype
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (C,), self.param_dtype)
+        xf = x.astype(jnp.float32)
+        spatial = tuple(range(1, x.ndim - 1))
+        grouped = xf.reshape(x.shape[0], *x.shape[1:-1], self.num_groups,
+                             C // self.num_groups)
+        axes = spatial + (x.ndim,)  # spatial dims + within-group channels
+        mean = grouped.mean(axis=axes, keepdims=True)
+        var = grouped.var(axis=axes, keepdims=True)
+        normed = (grouped - mean) * jax.lax.rsqrt(var + self.epsilon)
+        normed = normed.reshape(x.shape)
+        out = normed * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        return out.astype(orig_dtype)
+
+
+class Conv2d(nn.Module):
+    """3x3/1x1/kxk conv in NHWC; thin wrapper for naming & dtype policy."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int | str = 1
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = ((pad, pad), (pad, pad))
+        return nn.Conv(
+            self.features,
+            kernel_size=(self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding=pad,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="conv",
+        )(x)
+
+
+class ResnetBlock2D(nn.Module):
+    """norm-silu-conv x2 with optional time embedding and 1x1 shortcut."""
+
+    out_channels: int
+    use_temb: bool = True
+    groups: int = 32
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, temb: Optional[jax.Array] = None) -> jax.Array:
+        in_channels = x.shape[-1]
+        h = GroupNorm(self.groups, self.eps, dtype=self.dtype,
+                      param_dtype=self.param_dtype, name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+                    dtype=self.dtype, param_dtype=self.param_dtype,
+                    name="conv1")(h)
+        if self.use_temb and temb is not None:
+            temb_proj = nn.Dense(self.out_channels, dtype=self.dtype,
+                                 param_dtype=self.param_dtype,
+                                 name="time_emb_proj")(nn.silu(temb))
+            h = h + temb_proj[:, None, None, :]
+        h = GroupNorm(self.groups, self.eps, dtype=self.dtype,
+                      param_dtype=self.param_dtype, name="norm2")(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+                    dtype=self.dtype, param_dtype=self.param_dtype,
+                    name="conv2")(h)
+        if in_channels != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                        param_dtype=self.param_dtype,
+                        name="conv_shortcut")(x)
+        return x + h
+
+
+class Downsample2D(nn.Module):
+    """Stride-2 conv downsample. ``padding=0`` applies the asymmetric
+    (0,1,0,1) pad the VAE encoder uses; ``padding=1`` is the UNet form."""
+
+    out_channels: int
+    padding: int = 1
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        if self.padding == 0:
+            x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+            pad = ((0, 0), (0, 0))
+        else:
+            pad = ((self.padding, self.padding), (self.padding, self.padding))
+        return nn.Conv(self.out_channels, (3, 3), strides=(2, 2), padding=pad,
+                       dtype=self.dtype, param_dtype=self.param_dtype,
+                       name="conv")(x)
+
+
+class Upsample2D(nn.Module):
+    """Nearest 2x upsample + 3x3 conv."""
+
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        B, H, W, C = x.shape
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        return nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+                       dtype=self.dtype, param_dtype=self.param_dtype,
+                       name="conv")(x)
+
+
+class VAEAttention(nn.Module):
+    """Single-head self-attention block used in the VAE mid block."""
+
+    channels: int
+    groups: int = 32
+    eps: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        B, H, W, C = x.shape
+        h = GroupNorm(self.groups, self.eps, dtype=self.dtype,
+                      param_dtype=self.param_dtype, name="group_norm")(x)
+        h = h.reshape(B, H * W, C)
+        q = nn.Dense(C, dtype=self.dtype, param_dtype=self.param_dtype,
+                     name="query")(h)
+        k = nn.Dense(C, dtype=self.dtype, param_dtype=self.param_dtype,
+                     name="key")(h)
+        v = nn.Dense(C, dtype=self.dtype, param_dtype=self.param_dtype,
+                     name="value")(h)
+        out = dot_product_attention(
+            q[:, :, None, :], k[:, :, None, :], v[:, :, None, :], impl="xla"
+        )[:, :, 0, :]
+        out = nn.Dense(C, dtype=self.dtype, param_dtype=self.param_dtype,
+                       name="proj_attn")(out)
+        return x + out.reshape(B, H, W, C)
+
+
+class CrossAttention(nn.Module):
+    """Multi-head attention; self when ``context`` is None."""
+
+    num_heads: int
+    head_dim: int
+    out_dim: int
+    attn_impl: str = "auto"
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, context: Optional[jax.Array] = None) -> jax.Array:
+        context = x if context is None else context
+        inner = self.num_heads * self.head_dim
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="to_k")(context)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="to_v")(context)
+        B, Sq, _ = q.shape
+        Sk = k.shape[1]
+        q = q.reshape(B, Sq, self.num_heads, self.head_dim)
+        k = k.reshape(B, Sk, self.num_heads, self.head_dim)
+        v = v.reshape(B, Sk, self.num_heads, self.head_dim)
+        out = dot_product_attention(q, k, v, impl=self.attn_impl)
+        out = out.reshape(B, Sq, inner)
+        return nn.Dense(self.out_dim, dtype=self.dtype,
+                        param_dtype=self.param_dtype, name="to_out")(out)
+
+
+class FeedForwardGEGLU(nn.Module):
+    """GEGLU feed-forward: dim -> 2*4*dim (gated gelu) -> dim."""
+
+    dim: int
+    mult: int = 4
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        inner = self.dim * self.mult
+        proj = nn.Dense(inner * 2, dtype=self.dtype,
+                        param_dtype=self.param_dtype, name="proj_geglu")(x)
+        h, gate = jnp.split(proj, 2, axis=-1)
+        h = h * nn.gelu(gate, approximate=False)
+        return nn.Dense(self.dim, dtype=self.dtype,
+                        param_dtype=self.param_dtype, name="proj_out")(h)
+
+
+class BasicTransformerBlock(nn.Module):
+    """LN->self-attn, LN->cross-attn, LN->GEGLU FF, all residual."""
+
+    dim: int
+    num_heads: int
+    head_dim: int
+    attn_impl: str = "auto"
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, context: jax.Array) -> jax.Array:
+        ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                       param_dtype=self.param_dtype, name=name)
+        x = x + CrossAttention(self.num_heads, self.head_dim, self.dim,
+                               attn_impl=self.attn_impl, dtype=self.dtype,
+                               param_dtype=self.param_dtype,
+                               name="attn1")(ln("norm1")(x))
+        x = x + CrossAttention(self.num_heads, self.head_dim, self.dim,
+                               attn_impl=self.attn_impl, dtype=self.dtype,
+                               param_dtype=self.param_dtype,
+                               name="attn2")(ln("norm2")(x), context)
+        x = x + FeedForwardGEGLU(self.dim, dtype=self.dtype,
+                                 param_dtype=self.param_dtype,
+                                 name="ff")(ln("norm3")(x))
+        return x
+
+
+class Transformer2D(nn.Module):
+    """Spatial transformer: GN -> (linear|1x1) in -> blocks -> out + skip.
+
+    SD-2 uses ``use_linear_projection=True`` so proj_in/out are Dense.
+    """
+
+    num_heads: int
+    head_dim: int
+    depth: int = 1
+    use_linear_projection: bool = True
+    attn_impl: str = "auto"
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, context: jax.Array) -> jax.Array:
+        B, H, W, C = x.shape
+        inner = self.num_heads * self.head_dim
+        residual = x
+        h = GroupNorm(32, 1e-6, dtype=self.dtype,
+                      param_dtype=self.param_dtype, name="norm")(x)
+        if self.use_linear_projection:
+            h = h.reshape(B, H * W, C)
+            h = nn.Dense(inner, dtype=self.dtype, param_dtype=self.param_dtype,
+                         name="proj_in")(h)
+        else:
+            h = nn.Conv(inner, (1, 1), dtype=self.dtype,
+                        param_dtype=self.param_dtype, name="proj_in")(h)
+            h = h.reshape(B, H * W, inner)
+        for i in range(self.depth):
+            h = BasicTransformerBlock(
+                inner, self.num_heads, self.head_dim, attn_impl=self.attn_impl,
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                name=f"transformer_blocks_{i}")(h, context)
+        if self.use_linear_projection:
+            h = nn.Dense(C, dtype=self.dtype, param_dtype=self.param_dtype,
+                         name="proj_out")(h)
+            h = h.reshape(B, H, W, C)
+        else:
+            h = h.reshape(B, H, W, inner)
+            h = nn.Conv(C, (1, 1), dtype=self.dtype,
+                        param_dtype=self.param_dtype, name="proj_out")(h)
+        return h + residual

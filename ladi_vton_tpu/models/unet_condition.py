@@ -1,0 +1,259 @@
+"""Cross-attention-conditioned 2D UNet (SD-2-inpainting family).
+
+TPU-native re-implementation of the denoiser the reference takes from
+diffusers (``UNet2DConditionModel.from_pretrained("stabilityai/
+stable-diffusion-2-inpainting")``, reference: src/train_vto.py:252-257)
+including the LaDI-VTON conv_in surgery that widens the input from 9 to
+31 channels — 4 noisy latent + 1 mask + 4 masked-image latent + 18 pose
++ 4 warped-cloth latent (reference: src/train_vto.py:259-277,
+src/eval.py:166-184, hubconf.py:30-37).
+
+Architecture (SD-2): block_out_channels (320, 640, 1280, 1280), 2 layers
+per block, head_dim 64, cross_attention_dim 1024, linear attention
+projections, down = 3x CrossAttnDownBlock + DownBlock, mid =
+CrossAttn mid, up = UpBlock + 3x CrossAttnUpBlock.  NHWC throughout;
+attention runs through ``ops.attention`` (Pallas flash kernel on TPU).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ladi_vton_tpu.models.layers import (
+    Downsample2D,
+    GroupNorm,
+    ResnetBlock2D,
+    TimestepEmbedding,
+    Transformer2D,
+    Upsample2D,
+    timestep_embedding,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    in_channels: int = 31
+    out_channels: int = 4
+    block_out_channels: Sequence[int] = (320, 640, 1280, 1280)
+    layers_per_block: int = 2
+    head_dim: int = 64
+    cross_attention_dim: int = 1024
+    use_linear_projection: bool = True
+    norm_eps: float = 1e-5
+    # which blocks carry cross-attention transformers (SD-2 pattern)
+    down_block_has_attn: Sequence[bool] = (True, True, True, False)
+
+    @property
+    def up_block_has_attn(self) -> Sequence[bool]:
+        return tuple(reversed(self.down_block_has_attn))
+
+
+def sd2_unet_config(in_channels: int = 31) -> UNetConfig:
+    """The extended-UNet configuration used by LaDI-VTON on SD-2.
+
+    ``in_channels=31`` with warped-cloth conditioning, 27 when
+    ``cloth_input_type='none'`` (reference: src/train_vto.py:259-265),
+    9 for the stock inpainting UNet.
+    """
+    return UNetConfig(in_channels=in_channels)
+
+
+def sd15_unet_config(in_channels: int = 31) -> UNetConfig:
+    """SD-1.5-inpainting variant (cross_attention_dim 768, conv proj)."""
+    return UNetConfig(
+        in_channels=in_channels,
+        cross_attention_dim=768,
+        use_linear_projection=False,
+        head_dim=-1,  # SD-1.5 uses 8 heads at every width
+    )
+
+
+class CrossAttnDownBlock(nn.Module):
+    out_channels: int
+    num_layers: int
+    num_heads: int
+    head_dim: int
+    add_downsample: bool
+    has_attn: bool
+    use_linear_projection: bool
+    attn_impl: str
+    dtype: jnp.dtype
+    param_dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x, temb, context):
+        skips = []
+        for i in range(self.num_layers):
+            x = ResnetBlock2D(self.out_channels, dtype=self.dtype,
+                              param_dtype=self.param_dtype,
+                              name=f"resnets_{i}")(x, temb)
+            if self.has_attn:
+                x = Transformer2D(self.num_heads, self.head_dim,
+                                  use_linear_projection=self.use_linear_projection,
+                                  attn_impl=self.attn_impl, dtype=self.dtype,
+                                  param_dtype=self.param_dtype,
+                                  name=f"attentions_{i}")(x, context)
+            skips.append(x)
+        if self.add_downsample:
+            x = Downsample2D(self.out_channels, padding=1, dtype=self.dtype,
+                             param_dtype=self.param_dtype,
+                             name="downsamplers_0")(x)
+            skips.append(x)
+        return x, skips
+
+
+class CrossAttnUpBlock(nn.Module):
+    out_channels: int
+    num_layers: int
+    num_heads: int
+    head_dim: int
+    add_upsample: bool
+    has_attn: bool
+    use_linear_projection: bool
+    attn_impl: str
+    dtype: jnp.dtype
+    param_dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x, skips, temb, context):
+        for i in range(self.num_layers):
+            skip = skips.pop()
+            x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
+            x = ResnetBlock2D(self.out_channels, dtype=self.dtype,
+                              param_dtype=self.param_dtype,
+                              name=f"resnets_{i}")(x, temb)
+            if self.has_attn:
+                x = Transformer2D(self.num_heads, self.head_dim,
+                                  use_linear_projection=self.use_linear_projection,
+                                  attn_impl=self.attn_impl, dtype=self.dtype,
+                                  param_dtype=self.param_dtype,
+                                  name=f"attentions_{i}")(x, context)
+        if self.add_upsample:
+            x = Upsample2D(self.out_channels, dtype=self.dtype,
+                           param_dtype=self.param_dtype,
+                           name="upsamplers_0")(x)
+        return x
+
+
+class UNetMidBlockCrossAttn(nn.Module):
+    channels: int
+    num_heads: int
+    head_dim: int
+    use_linear_projection: bool
+    attn_impl: str
+    dtype: jnp.dtype
+    param_dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x, temb, context):
+        x = ResnetBlock2D(self.channels, dtype=self.dtype,
+                          param_dtype=self.param_dtype,
+                          name="resnets_0")(x, temb)
+        x = Transformer2D(self.num_heads, self.head_dim,
+                          use_linear_projection=self.use_linear_projection,
+                          attn_impl=self.attn_impl, dtype=self.dtype,
+                          param_dtype=self.param_dtype,
+                          name="attentions_0")(x, context)
+        x = ResnetBlock2D(self.channels, dtype=self.dtype,
+                          param_dtype=self.param_dtype,
+                          name="resnets_1")(x, temb)
+        return x
+
+
+class UNet2DCondition(nn.Module):
+    """The denoiser: (sample NHWC, timesteps, encoder_hidden_states) -> eps."""
+
+    config: UNetConfig = UNetConfig()
+    attn_impl: str = "auto"
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    def _heads(self, channels: int) -> tuple[int, int]:
+        if self.config.head_dim > 0:
+            return channels // self.config.head_dim, self.config.head_dim
+        return 8, channels // 8  # SD-1.5 style: fixed 8 heads
+
+    @nn.compact
+    def __call__(
+        self,
+        sample: jax.Array,
+        timesteps: jax.Array,
+        encoder_hidden_states: jax.Array,
+    ) -> jax.Array:
+        cfg = self.config
+        if timesteps.ndim == 0:
+            timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
+
+        t_feat = timestep_embedding(timesteps, cfg.block_out_channels[0])
+        temb = TimestepEmbedding(cfg.block_out_channels[0] * 4,
+                                 dtype=self.dtype,
+                                 param_dtype=self.param_dtype,
+                                 name="time_embedding")(
+            t_feat.astype(self.dtype))
+
+        context = encoder_hidden_states.astype(self.dtype)
+        h = nn.Conv(cfg.block_out_channels[0], (3, 3),
+                    padding=((1, 1), (1, 1)), dtype=self.dtype,
+                    param_dtype=self.param_dtype,
+                    name="conv_in")(sample.astype(self.dtype))
+
+        skips = [h]
+        n = len(cfg.block_out_channels)
+        for i, out_ch in enumerate(cfg.block_out_channels):
+            heads, hd = self._heads(out_ch)
+            h, block_skips = CrossAttnDownBlock(
+                out_channels=out_ch,
+                num_layers=cfg.layers_per_block,
+                num_heads=heads,
+                head_dim=hd,
+                add_downsample=i < n - 1,
+                has_attn=cfg.down_block_has_attn[i],
+                use_linear_projection=cfg.use_linear_projection,
+                attn_impl=self.attn_impl,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name=f"down_blocks_{i}",
+            )(h, temb, context)
+            skips.extend(block_skips)
+
+        heads, hd = self._heads(cfg.block_out_channels[-1])
+        h = UNetMidBlockCrossAttn(
+            channels=cfg.block_out_channels[-1],
+            num_heads=heads,
+            head_dim=hd,
+            use_linear_projection=cfg.use_linear_projection,
+            attn_impl=self.attn_impl,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="mid_block",
+        )(h, temb, context)
+
+        reversed_channels = list(reversed(cfg.block_out_channels))
+        for i, out_ch in enumerate(reversed_channels):
+            heads, hd = self._heads(out_ch)
+            h = CrossAttnUpBlock(
+                out_channels=out_ch,
+                num_layers=cfg.layers_per_block + 1,
+                num_heads=heads,
+                head_dim=hd,
+                add_upsample=i < n - 1,
+                has_attn=cfg.up_block_has_attn[i],
+                use_linear_projection=cfg.use_linear_projection,
+                attn_impl=self.attn_impl,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name=f"up_blocks_{i}",
+            )(h, skips, temb, context)
+
+        h = GroupNorm(32, cfg.norm_eps, dtype=self.dtype,
+                      param_dtype=self.param_dtype, name="conv_norm_out")(h)
+        h = nn.silu(h)
+        h = nn.Conv(cfg.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+                    dtype=self.dtype, param_dtype=self.param_dtype,
+                    name="conv_out")(h)
+        return h.astype(jnp.float32)

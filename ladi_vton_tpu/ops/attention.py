@@ -1,0 +1,77 @@
+"""Scaled dot-product attention with a Pallas TPU fast path.
+
+The reference opts into xformers memory-efficient attention for the UNet
+(reference: src/train_vto.py:284-288, src/inference.py:143-147).  The
+TPU-native equivalent is a Pallas flash-attention kernel
+(``ops.flash_attention``) that streams KV blocks through VMEM and never
+materializes the (Sq, Sk) score matrix in HBM.  It is default-on for the
+UNet's self/cross attention; the XLA einsum path remains as the numerics
+oracle, the CPU/test path, and the causal path (CLIP text encoder, 77
+tokens, where a kernel buys nothing).
+
+All shapes are (B, S, H, D) — batch, sequence, heads, head_dim.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def xla_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = False,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Reference attention: einsum + softmax in fp32."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    )
+    logits = logits * jnp.float32(scale)
+    if causal:
+        sq, sk = logits.shape[-2], logits.shape[-1]
+        row = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 1)
+        logits = jnp.where(col <= row, logits, jnp.float32(-1e9))
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype)
+
+
+def dot_product_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = False,
+    scale: Optional[float] = None,
+    impl: str = "auto",
+) -> jax.Array:
+    """Dispatch: Pallas flash kernel on TPU (non-causal), XLA otherwise."""
+    if impl == "xla":
+        return xla_attention(q, k, v, causal=causal, scale=scale)
+    if impl in ("auto", "pallas"):
+        on_tpu = any(d.platform == "tpu" for d in jax.devices())
+        if (impl == "pallas" or on_tpu) and not causal:
+            from ladi_vton_tpu.ops.flash_attention import flash_attention
+
+            try:
+                return flash_attention(
+                    q, k, v, scale=scale, interpret=not on_tpu
+                )
+            except Exception:
+                if impl == "pallas":
+                    raise
+        return xla_attention(q, k, v, causal=causal, scale=scale)
+    raise ValueError(f"unknown attention impl: {impl!r}")

@@ -1,0 +1,151 @@
+"""Pallas TPU flash-attention (forward) with recompute backward.
+
+TPU-native replacement for the xformers attention the reference enables
+(reference: src/train_vto.py:284-288).  Blockwise online-softmax over KV
+chunks: per (batch*head, q-block) grid cell the kernel streams KV tiles
+from VMEM, carrying running max / normalizer / weighted accumulator, so
+the (Sq, Sk) score matrix never touches HBM.
+
+Sequence geometry in this framework is short-to-medium (UNet self-attn at
+512x384 peaks at Sq = Sk = 3072, D = 64; cross-attn Sk = 77), so full K/V
+slices for one (batch, head) comfortably fit VMEM and the kernel blocks
+only the score/probability tiles.  The backward pass recomputes attention
+with the XLA oracle under ``jax.custom_vjp`` — at these sizes the
+recompute is cheaper than a dedicated bwd kernel and keeps training
+numerics trivially correct.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ladi_vton_tpu.ops.attention import xla_attention
+
+_NEG_INF = float(-1e30)
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int, block_k: int,
+                scale: float):
+    """One (batch*head, q_block) cell. Refs: q (1,bq,D), k/v (1,Skp,D)."""
+    q = q_ref[0].astype(jnp.float32) * jnp.float32(scale)  # (bq, D)
+    bq = q.shape[0]
+    d = q.shape[1]
+    skp = k_ref.shape[1]
+    num_kv_blocks = skp // block_k
+
+    def body(i, carry):
+        m_prev, l_prev, acc_prev = carry
+        k_blk = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (bq, block_k)
+        col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
+        valid = (col + i * block_k) < kv_len
+        s = jnp.where(valid, s, _NEG_INF)
+
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_new = acc_prev * alpha + jax.lax.dot_general(
+            p, v_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return m_new, l_new, acc_new
+
+    m0 = jnp.full((bq, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc0 = jnp.zeros((bq, d), jnp.float32)
+    _, l_fin, acc_fin = jax.lax.fori_loop(0, num_kv_blocks, body,
+                                          (m0, l0, acc0))
+    o_ref[0] = (acc_fin / l_fin).astype(o_ref.dtype)
+
+
+def _flash_fwd_impl(q, k, v, scale: float, block_q: int, block_k: int,
+                    interpret: bool) -> jax.Array:
+    B, Sq, H, D = q.shape
+    Sk = k.shape[1]
+    sqp = _round_up(Sq, block_q)
+    skp = _round_up(Sk, block_k)
+
+    # (B, S, H, D) -> (B*H, S, D); pad sequence to block multiples
+    def fold(x, sp):
+        x = jnp.swapaxes(x, 1, 2).reshape(B * H, x.shape[1], D)
+        if sp != x.shape[1]:
+            x = jnp.pad(x, ((0, 0), (0, sp - x.shape[1]), (0, 0)))
+        return x
+
+    qf, kf, vf = fold(q, sqp), fold(k, skp), fold(v, skp)
+
+    grid = (B * H, sqp // block_q)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, kv_len=Sk, block_k=block_k,
+                          scale=scale),
+        out_shape=jax.ShapeDtypeStruct((B * H, sqp, D), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, D), lambda bh, qi: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, skp, D), lambda bh, qi: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, skp, D), lambda bh, qi: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, D), lambda bh, qi: (bh, qi, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(qf, kf, vf)
+
+    out = out[:, :Sq].reshape(B, H, Sq, D)
+    return jnp.swapaxes(out, 1, 2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash(q, k, v, scale, block_q, block_k, interpret):
+    return _flash_fwd_impl(q, k, v, scale, block_q, block_k, interpret)
+
+
+def _flash_fwd(q, k, v, scale, block_q, block_k, interpret):
+    return _flash_fwd_impl(q, k, v, scale, block_q, block_k, interpret), (q, k, v)
+
+
+def _flash_bwd(scale, block_q, block_k, interpret, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: xla_attention(q_, k_, v_, scale=scale),
+                     q, k, v)
+    return vjp(g)
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    scale: Optional[float] = None,
+    block_q: int = 256,
+    block_k: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Flash attention over (B, S, H, D) tensors. Non-causal."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    Sq, Sk = q.shape[1], k.shape[1]
+    block_q = min(block_q, _round_up(Sq, 128))
+    block_k = min(block_k, _round_up(Sk, 128))
+    return _flash(q, k, v, float(scale), block_q, block_k, interpret)

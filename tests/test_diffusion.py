@@ -1,0 +1,103 @@
+"""Scheduler + PTE-splice tests against torch/diffusers-style oracles."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ladi_vton_tpu.diffusion.schedulers import (
+    DDIMScheduler,
+    DDPMScheduler,
+    SchedulerConfig,
+)
+from ladi_vton_tpu.diffusion.text import splice_word_embeddings
+
+
+def _torch_ddim_reference(model_outputs, timesteps, x, cfg, n_steps):
+    """Straight numpy re-derivation of DDIM eta=0 epsilon updates."""
+    betas = (
+        np.linspace(cfg.beta_start**0.5, cfg.beta_end**0.5,
+                    cfg.num_train_timesteps) ** 2
+    )
+    acp = np.cumprod(1 - betas)
+    final_acp = 1.0 if cfg.set_alpha_to_one else acp[0]
+    stride = cfg.num_train_timesteps // n_steps
+    for out, t in zip(model_outputs, timesteps):
+        a_t = acp[t]
+        prev_t = t - stride
+        a_prev = acp[prev_t] if prev_t >= 0 else final_acp
+        x0 = (x - np.sqrt(1 - a_t) * out) / np.sqrt(a_t)
+        dir_xt = np.sqrt(1 - a_prev) * out
+        x = np.sqrt(a_prev) * x0 + dir_xt
+    return x
+
+
+def test_ddim_timesteps_match_diffusers_convention():
+    sched = DDIMScheduler()
+    ts = np.asarray(sched.set_timesteps(50))
+    assert ts[0] == 981 and ts[-1] == 1
+    assert len(ts) == 50
+    assert np.all(np.diff(ts) == -20)
+
+
+def test_ddim_step_matches_reference_math():
+    cfg = SchedulerConfig()
+    sched = DDIMScheduler(cfg)
+    ts = sched.set_timesteps(10)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((1, 4, 3, 4)).astype(np.float32)
+    outs = [rng.standard_normal((1, 4, 3, 4)).astype(np.float32)
+            for _ in range(10)]
+
+    x_jax = jnp.asarray(x)
+    for out, t in zip(outs, np.asarray(ts)):
+        x_jax = sched.step(jnp.asarray(out), jnp.asarray(t), x_jax)
+
+    expect = _torch_ddim_reference(outs, np.asarray(ts), x, cfg, 10)
+    np.testing.assert_allclose(np.asarray(x_jax), expect, rtol=2e-4,
+                               atol=2e-5)
+
+
+def test_ddpm_add_noise():
+    sched = DDPMScheduler()
+    x = jnp.ones((2, 4, 4, 4))
+    noise = jnp.zeros_like(x)
+    t = jnp.asarray([0, 999])
+    noisy = sched.add_noise(x, noise, t)
+    acp = np.asarray(sched.alphas_cumprod)
+    np.testing.assert_allclose(np.asarray(noisy[0]), np.sqrt(acp[0]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(noisy[1]), np.sqrt(acp[999]),
+                               rtol=1e-5)
+
+
+def test_splice_word_embeddings_replaces_first_vstar_run():
+    B, S, D, V = 2, 12, 4, 3
+    ids = np.zeros((B, S), np.int32)
+    ids[0, 5:8] = 259  # $ tokens
+    ids[1, :] = 7  # no $ in second sequence
+    embeds = np.arange(B * S * D, dtype=np.float32).reshape(B, S, D)
+    ptes = -np.ones((B, V, D), np.float32)
+
+    out = splice_word_embeddings(
+        jnp.asarray(embeds), jnp.asarray(ids), jnp.asarray(ptes), V
+    )
+    out = np.asarray(out)
+    # seq 0: positions 5..7 replaced
+    np.testing.assert_allclose(out[0, 5:8], -1.0)
+    np.testing.assert_allclose(out[0, :5], embeds[0, :5])
+    np.testing.assert_allclose(out[0, 8:], embeds[0, 8:])
+    # seq 1 untouched
+    np.testing.assert_allclose(out[1], embeds[1])
+
+
+def test_splice_grad_flows_to_ptes():
+    ids = np.zeros((1, 8), np.int32)
+    ids[0, 2:4] = 259
+    embeds = jnp.zeros((1, 8, 4))
+
+    def loss(ptes):
+        out = splice_word_embeddings(embeds, jnp.asarray(ids), ptes, 2)
+        return jnp.sum(out**2)
+
+    g = jax.grad(loss)(jnp.ones((1, 2, 4)))
+    assert np.all(np.asarray(g) != 0.0)

@@ -1,0 +1,190 @@
+"""Model-tower shape/semantics tests on tiny configs (1-core CPU budget)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ladi_vton_tpu.models.emasc import EMASC, mask_features
+from ladi_vton_tpu.models.inversion_adapter import InversionAdapter
+from ladi_vton_tpu.models.clip import (
+    CLIPTextConfig,
+    CLIPTextModel,
+    CLIPVisionConfig,
+    CLIPVisionModel,
+)
+from ladi_vton_tpu.models.refinement import UNetVanilla
+from ladi_vton_tpu.models.tps import (
+    ConvNetTPS,
+    TPSGridGen,
+    make_control_points,
+)
+from ladi_vton_tpu.models.unet_condition import UNet2DCondition, UNetConfig
+from ladi_vton_tpu.models.vae import AutoencoderKL, VAEConfig
+
+TINY_VAE = VAEConfig(block_out_channels=(32, 32, 64, 64), norm_num_groups=32)
+TINY_UNET = UNetConfig(
+    in_channels=31,
+    block_out_channels=(32, 64, 64, 64),
+    head_dim=8,
+    cross_attention_dim=16,
+)
+
+
+def test_vae_encode_decode_shapes_and_taps():
+    vae = AutoencoderKL(TINY_VAE)
+    x = jnp.zeros((1, 32, 24, 3))
+    params = vae.init(jax.random.key(0), x)
+    moments, feats = vae.apply(params, x, method="encode")
+    # latent 8x downsample, 2*4 moment channels
+    assert moments.shape == (1, 4, 3, 8)
+    # taps: input, post-conv_in, pre-down x4 (reference vae.py:99-110);
+    # spatial strides 1,1,1,2,4,8 (each tap is a down block's *input*)
+    assert len(feats) == 6
+    assert [f.shape[-1] for f in feats] == [3, 32, 32, 32, 32, 64]
+    assert [f.shape[1] for f in feats] == [32, 32, 32, 16, 8, 4]
+    dec = vae.apply(params, moments[..., :4], method="decode")
+    assert dec.shape == (1, 32, 24, 3)
+
+
+def test_vae_emasc_injection_arithmetic():
+    """Decoder adds features pre-up-block + the int_layers 1-case feature."""
+    vae = AutoencoderKL(TINY_VAE)
+    x = jnp.zeros((1, 32, 24, 3))
+    params = vae.init(jax.random.key(0), x)
+    z = jnp.ones((1, 4, 3, 4))
+    # EMASC-shaped injection features for int_layers [1..5]: reversed, one
+    # per up-block input (channels/resolution of that input), then the
+    # layer-1 feature after conv_norm_out (reference vae.py:183-212)
+    feats = [
+        jnp.ones((1, 32, 24, 32)),  # layer 1 -> after conv_norm_out
+        jnp.ones((1, 32, 24, 32)),  # layer 2 -> before up block 3
+        jnp.ones((1, 16, 12, 64)),  # layer 3 -> before up block 2
+        jnp.ones((1, 8, 6, 64)),    # layer 4 -> before up block 1
+        jnp.ones((1, 4, 3, 64)),    # layer 5 -> before up block 0
+    ]
+    out = vae.apply(params, z, feats, (1, 2, 3, 4, 5), method="decode")
+    base = vae.apply(params, z, method="decode")
+    assert out.shape == base.shape
+    assert not np.allclose(np.asarray(out), np.asarray(base))
+
+
+def test_emasc_zero_init_linear_passthrough():
+    emasc = EMASC(in_channels=(8, 16), out_channels=(8, 32), kind="linear")
+    feats = [jnp.ones((1, 8, 8, 8)), jnp.ones((1, 4, 4, 16))]
+    params = emasc.init(jax.random.key(0), feats)
+    out = emasc.apply(params, feats)
+    # linear EMASC is zero-initialized (reference emasc.py:42-45)
+    assert all(np.allclose(np.asarray(o), 0.0) for o in out)
+    assert out[0].shape == (1, 8, 8, 8)
+    assert out[1].shape == (1, 4, 4, 32)
+
+
+def test_emasc_nonlinear_shapes():
+    emasc = EMASC(in_channels=(8, 16), out_channels=(8, 32), kind="nonlinear")
+    feats = [jnp.ones((1, 8, 8, 8)), jnp.ones((1, 4, 4, 16))]
+    params = emasc.init(jax.random.key(0), feats)
+    out = emasc.apply(params, feats)
+    assert out[0].shape == (1, 8, 8, 8)
+    assert out[1].shape == (1, 4, 4, 32)
+
+
+def test_mask_features_zeroes_inpaint_region():
+    feats = [jnp.ones((1, 8, 8, 4))]
+    mask = jnp.ones((1, 16, 16, 1))  # everything inpainted
+    out = mask_features(feats, mask)
+    np.testing.assert_allclose(np.asarray(out[0]), 0.0)
+
+
+def test_unet_forward_shape():
+    unet = UNet2DCondition(TINY_UNET, attn_impl="xla")
+    x = jnp.zeros((1, 8, 8, 31))
+    t = jnp.asarray([7])
+    ctx = jnp.zeros((1, 5, 16))
+    params = unet.init(jax.random.key(0), x, t, ctx)
+    out = unet.apply(params, x, t, ctx)
+    assert out.shape == (1, 8, 8, 4)
+    assert out.dtype == jnp.float32
+
+
+def test_tps_grid_gen_identity():
+    """Control points at targets -> identity sampling grid."""
+    cp = make_control_points(5, 0.9)
+    gen = TPSGridGen(8, 6, cp)
+    grid = gen(jnp.asarray(cp)[None])
+    ys = np.linspace(-1, 1, 8)
+    xs = np.linspace(-1, 1, 6)
+    gy, gx = np.meshgrid(ys, xs, indexing="ij")
+    expect = np.stack([gx, gy], axis=-1)[None]
+    np.testing.assert_allclose(np.asarray(grid), expect, atol=1e-4)
+
+
+def test_convnet_tps_end_to_end_identity_at_init():
+    """Zero-weight + arctanh-bias regression -> identity warp at init."""
+    tps = ConvNetTPS(height=32, width=24)
+    cloth = jnp.zeros((2, 32, 24, 3))
+    agn = jnp.zeros((2, 32, 24, 21))
+    variables = tps.init(jax.random.key(0), cloth, agn)
+    grid, coor, rx, ry, cx, cy, rg, cg = tps.apply(variables, cloth, agn)
+    assert grid.shape == (2, 32, 24, 2)
+    assert coor.shape == (2, 25, 2)
+    cp = make_control_points(5, 0.9)
+    np.testing.assert_allclose(np.asarray(coor[0]), cp, atol=1e-4)
+    # identity warp grid
+    ys = np.linspace(-1, 1, 32)
+    xs = np.linspace(-1, 1, 24)
+    gy, gx = np.meshgrid(ys, xs, indexing="ij")
+    np.testing.assert_allclose(
+        np.asarray(grid[0]), np.stack([gx, gy], -1), atol=1e-3
+    )
+    for v in (rx, ry, cx, cy):
+        assert np.asarray(v) >= 0.08 - 1e-6
+    for v in (rg, cg):
+        assert np.asarray(v) >= 0.02 - 1e-6
+
+
+def test_refinement_unet_shape():
+    net = UNetVanilla(out_channels=3, bilinear=True)
+    x = jnp.zeros((1, 32, 24, 24))
+    variables = net.init(jax.random.key(0), x)
+    out = net.apply(variables, x)
+    assert out.shape == (1, 32, 24, 3)
+
+
+def test_clip_text_tiny():
+    cfg = CLIPTextConfig(vocab_size=300, hidden_size=32, num_hidden_layers=2,
+                         num_attention_heads=4, intermediate_size=64,
+                         max_position_embeddings=16)
+    model = CLIPTextModel(cfg)
+    ids = jnp.asarray([[49, 3, 7, 260, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]])
+    params = model.init(jax.random.key(0), ids)
+    h, pooled = model.apply(params, ids)
+    assert h.shape == (1, 16, 32)
+    assert pooled.shape == (1, 32)
+    # pooled = position of max token id (260 at index 3)
+    np.testing.assert_allclose(np.asarray(pooled), np.asarray(h[:, 3]))
+
+
+def test_clip_vision_tiny():
+    cfg = CLIPVisionConfig(hidden_size=32, num_hidden_layers=2,
+                           num_attention_heads=4, intermediate_size=64,
+                           image_size=28, patch_size=14)
+    model = CLIPVisionModel(cfg)
+    x = jnp.zeros((1, 28, 28, 3))
+    params = model.init(jax.random.key(0), x)
+    out = model.apply(params, x)
+    assert out.shape == (1, 5, 32)  # 4 patches + CLS
+
+
+def test_inversion_adapter_tiny():
+    from ladi_vton_tpu.models.clip import CLIPVisionConfig
+
+    vc = CLIPVisionConfig(hidden_size=32, num_hidden_layers=1,
+                          num_attention_heads=4, intermediate_size=64)
+    adapter = InversionAdapter(input_dim=32, hidden_dim=64,
+                               output_dim=16 * 4, num_encoder_layers=1,
+                               vision_config=vc)
+    x = jnp.zeros((2, 5, 32))
+    params = adapter.init(jax.random.key(0), x)
+    out = adapter.apply(params, x)
+    assert out.shape == (2, 64)

@@ -1,0 +1,147 @@
+"""Ops-layer numerics tests against torch oracles (torch CPU is available)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from ladi_vton_tpu.ops import (
+    dilate,
+    dot_product_attention,
+    grid_sample,
+    resize_bilinear,
+)
+from ladi_vton_tpu.ops.flash_attention import flash_attention
+
+
+@pytest.mark.parametrize("padding_mode", ["border", "zeros"])
+@pytest.mark.parametrize("align_corners", [False, True])
+def test_grid_sample_matches_torch(padding_mode, align_corners):
+    rng = np.random.default_rng(0)
+    img = rng.standard_normal((2, 13, 9, 3)).astype(np.float32)
+    # grid beyond [-1, 1] to exercise padding
+    grid = rng.uniform(-1.4, 1.4, size=(2, 7, 5, 2)).astype(np.float32)
+
+    ours = grid_sample(
+        jnp.asarray(img),
+        jnp.asarray(grid),
+        padding_mode=padding_mode,
+        align_corners=align_corners,
+    )
+    theirs = F.grid_sample(
+        torch.from_numpy(img).permute(0, 3, 1, 2),
+        torch.from_numpy(grid),
+        mode="bilinear",
+        padding_mode=padding_mode,
+        align_corners=align_corners,
+    ).permute(0, 2, 3, 1)
+    np.testing.assert_allclose(
+        np.asarray(ours), theirs.numpy(), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_grid_sample_grad_flows():
+    img = jnp.ones((1, 8, 8, 1))
+    grid = jnp.zeros((1, 4, 4, 2))
+
+    def loss(g):
+        return jnp.sum(grid_sample(img * 2.0, g) ** 2)
+
+    g = jax.grad(loss)(grid + 0.1)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+@pytest.mark.parametrize("align_corners", [False])
+def test_resize_bilinear_matches_torch(align_corners):
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, 16, 12, 4)).astype(np.float32)
+    ours = resize_bilinear(jnp.asarray(x), (5, 7), align_corners=align_corners)
+    theirs = F.interpolate(
+        torch.from_numpy(x).permute(0, 3, 1, 2),
+        size=(5, 7),
+        mode="bilinear",
+        align_corners=align_corners,
+    ).permute(0, 2, 3, 1)
+    np.testing.assert_allclose(
+        np.asarray(ours), theirs.numpy(), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_resize_bilinear_align_corners_true():
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((1, 10, 8, 2)).astype(np.float32)
+    ours = resize_bilinear(jnp.asarray(x), (21, 15), align_corners=True)
+    theirs = F.interpolate(
+        torch.from_numpy(x).permute(0, 3, 1, 2),
+        size=(21, 15),
+        mode="bilinear",
+        align_corners=True,
+    ).permute(0, 2, 3, 1)
+    np.testing.assert_allclose(
+        np.asarray(ours), theirs.numpy(), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_dilate_matches_iterated_maxpool():
+    rng = np.random.default_rng(3)
+    m = (rng.uniform(size=(32, 24)) > 0.9).astype(np.float32)
+    ours = dilate(jnp.asarray(m), kernel_size=5, iterations=5)
+    t = torch.from_numpy(m)[None, None]
+    for _ in range(5):
+        t = F.max_pool2d(t, kernel_size=5, stride=1, padding=2)
+    np.testing.assert_allclose(np.asarray(ours), t[0, 0].numpy())
+
+
+@pytest.mark.parametrize("sq,sk", [(64, 64), (200, 77)])
+def test_flash_attention_matches_xla(sq, sk):
+    # NOTE: pallas interpret mode emulates TPU MXU numerics (bf16 matmul
+    # inputs), so tolerance is bf16-level, not fp32-level.
+    rng = np.random.default_rng(4)
+    q = rng.standard_normal((2, sq, 3, 32)).astype(np.float32)
+    k = rng.standard_normal((2, sk, 3, 32)).astype(np.float32)
+    v = rng.standard_normal((2, sk, 3, 32)).astype(np.float32)
+    ours = flash_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), interpret=True,
+        block_q=128, block_k=128,
+    )
+    ref = dot_product_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), impl="xla"
+    )
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-2)
+
+
+def test_xla_attention_matches_torch_sdpa():
+    rng = np.random.default_rng(5)
+    q = rng.standard_normal((2, 19, 4, 16)).astype(np.float32)
+    k = rng.standard_normal((2, 23, 4, 16)).astype(np.float32)
+    v = rng.standard_normal((2, 23, 4, 16)).astype(np.float32)
+    ours = dot_product_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), impl="xla"
+    )
+    theirs = F.scaled_dot_product_attention(
+        torch.from_numpy(q).permute(0, 2, 1, 3),
+        torch.from_numpy(k).permute(0, 2, 1, 3),
+        torch.from_numpy(v).permute(0, 2, 1, 3),
+    ).permute(0, 2, 1, 3)
+    np.testing.assert_allclose(
+        np.asarray(ours), theirs.numpy(), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_causal_attention_matches_torch():
+    rng = np.random.default_rng(6)
+    q = rng.standard_normal((1, 11, 2, 8)).astype(np.float32)
+    ours = dot_product_attention(
+        jnp.asarray(q), jnp.asarray(q), jnp.asarray(q), causal=True, impl="xla"
+    )
+    theirs = F.scaled_dot_product_attention(
+        torch.from_numpy(q).permute(0, 2, 1, 3),
+        torch.from_numpy(q).permute(0, 2, 1, 3),
+        torch.from_numpy(q).permute(0, 2, 1, 3),
+        is_causal=True,
+    ).permute(0, 2, 1, 3)
+    np.testing.assert_allclose(
+        np.asarray(ours), theirs.numpy(), rtol=1e-4, atol=1e-5
+    )
