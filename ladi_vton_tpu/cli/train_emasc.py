@@ -1,0 +1,184 @@
+"""Stage-2 training CLI: EMASC adapters (VAE frozen).
+
+Flag surface mirrors reference src/train_emasc.py (argparse block;
+README.md "Train the EMASC").  Mechanics mirrored: L1(recon, image) +
+0.5 * VGG with masked-feature injection decode (:386-418), grad clip
+1.0, checkpoints every ``--checkpointing_steps`` with keep-last-2 GC,
+VAE reconstruction dumps + raw ``emasc_{step}.pth`` export (:430-473).
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="EMASC training script.")
+    p.add_argument("--dataset", type=str, required=True,
+                   choices=["dresscode", "vitonhd"])
+    p.add_argument("--dresscode_dataroot", type=str)
+    p.add_argument("--vitonhd_dataroot", type=str)
+    p.add_argument("--output_dir", type=str, required=True)
+    p.add_argument("--pretrained_model_name_or_path", type=str,
+                   default="stabilityai/stable-diffusion-2-inpainting")
+    p.add_argument("--seed", type=int, default=1234)
+    p.add_argument("--train_batch_size", type=int, default=16)
+    p.add_argument("--test_batch_size", type=int, default=16)
+    p.add_argument("--num_train_epochs", type=int, default=100)
+    p.add_argument("--max_train_steps", type=int, default=200001)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--learning_rate", type=float, default=1e-5)
+    p.add_argument("--lr_scheduler", type=str,
+                   default="constant_with_warmup")
+    p.add_argument("--lr_warmup_steps", type=int, default=500)
+    p.add_argument("--allow_tf32", action="store_true")
+    p.add_argument("--adam_beta1", type=float, default=0.9)
+    p.add_argument("--adam_beta2", type=float, default=0.999)
+    p.add_argument("--adam_weight_decay", type=float, default=1e-2)
+    p.add_argument("--adam_epsilon", type=float, default=1e-08)
+    p.add_argument("--max_grad_norm", default=1.0, type=float)
+    p.add_argument("--mixed_precision", type=str, default="bf16",
+                   choices=["no", "fp16", "bf16"])
+    p.add_argument("--report_to", type=str, default="wandb")
+    p.add_argument("--local_rank", type=int, default=-1)
+    p.add_argument("--checkpointing_steps", type=int, default=10000)
+    p.add_argument("--resume_from_checkpoint", type=str, default=None)
+    p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--num_workers_test", type=int, default=8)
+    p.add_argument("--test_order", type=str, default="unpaired",
+                   choices=["unpaired", "paired"])
+    p.add_argument("--emasc_type", type=str, default="nonlinear",
+                   choices=["linear", "nonlinear"])
+    p.add_argument("--emasc_kernel", type=int, default=3)
+    p.add_argument("--emasc_padding", type=int, default=1)
+    p.add_argument("--vgg_weight", type=float, default=0.5)
+    # offline weight routing
+    p.add_argument("--sd2_model_dir", type=str, required=False)
+    p.add_argument("--vgg_weights", type=str, default=None,
+                   help="torchvision vgg19 .pth for the perceptual loss")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ladi_vton_tpu.cli.train_vto import build_dataset
+    from ladi_vton_tpu.core.checkpoint import (
+        CheckpointManager,
+        export_torch_state,
+    )
+    from ladi_vton_tpu.core.dtypes import default_policy
+    from ladi_vton_tpu.core.mesh import MeshSpec, make_mesh
+    from ladi_vton_tpu.data.loader import BatchLoader
+    from ladi_vton_tpu.hub import convert as C
+    from ladi_vton_tpu.hub import zoo
+    from ladi_vton_tpu.models.emasc import EMASC
+    from ladi_vton_tpu.models.vgg import VGG19Features
+    from ladi_vton_tpu.train.runner import (
+        LoopConfig,
+        Trackers,
+        setup_logging,
+        train_loop,
+    )
+    from ladi_vton_tpu.train.steps import (
+        TrainState,
+        make_emasc_train_step,
+        make_optimizer,
+        shard_step,
+    )
+
+    logger = setup_logging(args.output_dir)
+    policy = default_policy(args.mixed_precision)
+    dtype = policy.compute_dtype
+
+    vae, vae_vars = zoo.sd2_vae(args.sd2_model_dir, dtype=dtype)
+    emasc = EMASC(kind=args.emasc_type, kernel_size=args.emasc_kernel,
+                  dtype=dtype)
+    emasc_vars = emasc.init(jax.random.key(args.seed), [
+        jnp.zeros((1, 8, 8, c), dtype) for c in emasc.in_channels])
+
+    vgg = VGG19Features(dtype=dtype)
+    if args.vgg_weights:
+        vgg_vars = zoo._to_jax(C.convert_vgg19(
+            C.load_torch_state(args.vgg_weights)))
+    else:
+        logger.info("no --vgg_weights given: perceptual loss uses random "
+                    "VGG features (smoke mode only)")
+        vgg_vars = vgg.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3),
+                                                         dtype))
+
+    outputlist = ("image", "im_mask", "inpaint_mask", "im_name", "category")
+    train_dataset = build_dataset(args, "train", "paired", outputlist)
+    loader = BatchLoader(train_dataset, args.train_batch_size, shuffle=True,
+                         num_workers=args.num_workers, drop_last=True,
+                         seed=args.seed)
+
+    step_fn = make_emasc_train_step(vae=vae, emasc=emasc, vgg=vgg,
+                                    vgg_weight=args.vgg_weight)
+    tx = make_optimizer(args.learning_rate, adam_beta1=args.adam_beta1,
+                        adam_beta2=args.adam_beta2,
+                        adam_eps=args.adam_epsilon,
+                        weight_decay=args.adam_weight_decay,
+                        max_grad_norm=args.max_grad_norm,
+                        warmup_steps=args.lr_warmup_steps)
+    state = TrainState.create({"emasc": emasc_vars}, tx)
+    frozen = {"vae": vae_vars, "vgg": vgg_vars}
+
+    mesh = make_mesh(MeshSpec())
+    with mesh:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        jitted, shard_batch = shard_step(step_fn, mesh)
+        state = jax.device_put(state, NamedSharding(mesh, P()))
+        frozen = jax.device_put(frozen, NamedSharding(mesh, P()))
+
+        ckpt = CheckpointManager(args.output_dir, keep=2)
+        start_step = 0
+        if args.resume_from_checkpoint:
+            try:
+                state = ckpt.restore(state, args.resume_from_checkpoint)
+                start_step = int(state.step)
+            except FileNotFoundError:
+                logger.info("no checkpoint found; starting fresh")
+
+        trackers = Trackers(args.report_to, "LaDI_VTON_Emasc",
+                            args.output_dir, vars(args))
+
+        def batch_to_arrays(batch):
+            return {"image": batch["image"], "im_mask": batch["im_mask"],
+                    "inpaint_mask": batch["inpaint_mask"]}
+
+        def on_checkpoint(step, state):
+            export_torch_state(
+                {"params": jax.device_get(
+                    state.params["emasc"])["params"]},
+                Path(args.output_dir) / f"emasc_{step}.pth")
+
+        def emasc_jitted(state, frozen, batch, rng):
+            return jitted(state, frozen, batch, rng)
+
+        state, final_step = train_loop(
+            state=state, frozen=frozen,
+            loader=_forever(loader), jitted_step=emasc_jitted,
+            shard_batch=shard_batch, ckpt_manager=ckpt,
+            loop=LoopConfig(max_train_steps=args.max_train_steps,
+                            checkpointing_steps=args.checkpointing_steps,
+                            seed=args.seed),
+            logger=logger, trackers=trackers, start_step=start_step,
+            on_checkpoint=on_checkpoint,
+            batch_to_arrays=batch_to_arrays)
+        trackers.finish()
+        logger.info(f"done at step {final_step}")
+
+
+def _forever(loader):
+    while True:
+        yield from loader
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,137 @@
+"""Checkpoint / resume / export.
+
+The reference has two mechanisms (SURVEY.md §5.4): accelerate full-state
+dirs ``checkpoint-{step}`` with keep-last-2 GC and ``latest`` resolution
+(reference: src/train_vto.py:481-500,661-709), plus raw ``.pth``
+state-dict exports that hubconf downloads (src/train_vto.py:711-720,
+hubconf.py:25-62).  Equivalents here:
+
+* ``CheckpointManager`` — orbax-backed full train-state checkpoints,
+  atomic writes (orbax's tmp+rename), keep-last-N GC, ``latest``/step
+  resume — preemption-safe, which matters on TPU pools.
+* ``export_torch_state`` — converts flax params back to a torch ``.pth``
+  with reference-compatible key names (the exact inverse of
+  ``hub.convert``), so models trained here deploy against the
+  reference's loaders and vice versa.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+
+class CheckpointManager:
+    """Orbax checkpointing with reference-style ``checkpoint-{step}``
+    naming and keep-last-N garbage collection."""
+
+    def __init__(self, directory: str | Path, *, keep: int = 2):
+        import orbax.checkpoint as ocp
+
+        self.directory = Path(directory).absolute()
+        self.directory.mkdir(parents=True, exist_ok=True)
+        self.keep = keep
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def _step_dirs(self) -> list[tuple[int, Path]]:
+        out = []
+        for p in self.directory.iterdir():
+            m = re.fullmatch(r"checkpoint-(\d+)", p.name)
+            if m:
+                out.append((int(m.group(1)), p))
+        return sorted(out)
+
+    def latest_step(self) -> Optional[int]:
+        dirs = self._step_dirs()
+        return dirs[-1][0] if dirs else None
+
+    def save(self, step: int, state: Any):
+        path = self.directory / f"checkpoint-{step}"
+        self._ckptr.save(path, state)
+        self._ckptr.wait_until_finished()
+        # keep-last-N GC (reference train_vto.py:701-709)
+        dirs = self._step_dirs()
+        for _, old in dirs[: max(0, len(dirs) - self.keep)]:
+            import shutil
+
+            try:
+                shutil.rmtree(old)
+            except OSError as e:  # GC must never kill training
+                print(f"checkpoint GC failed for {old}: {e}")
+
+    def restore(self, state_like: Any, step: int | str = "latest") -> Any:
+        if step == "latest":
+            step = self.latest_step()
+            if step is None:
+                raise FileNotFoundError(
+                    f"no checkpoints under {self.directory}")
+        path = self.directory / f"checkpoint-{step}"
+        return self._ckptr.restore(path, target=state_like)
+
+
+# --------------------------------------------------------- torch export
+
+
+def _flatten(tree: dict, prefix=()) -> dict[tuple, np.ndarray]:
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(_flatten(v, prefix + (k,)))
+        else:
+            out[prefix + (k,)] = np.asarray(v)
+    return out
+
+
+def _to_torch_key_value(path: tuple, arr: np.ndarray):
+    """Invert hub.convert naming: flax path -> torch key + layout."""
+    parts = []
+    for p in path[:-1]:
+        # resnets_0 -> resnets.0 ; layers_3 -> layers.3 ; conv_0_2 -> conv.0.2
+        parts.extend(re.sub(r"_(\d+)", r".\1", p).split("."))
+    leaf = path[-1]
+    key = ".".join(parts)
+    if leaf == "kernel":
+        if arr.ndim == 4:  # conv HWIO -> OIHW
+            return key + ".weight", np.transpose(arr, (3, 2, 0, 1))
+        return key + ".weight", arr.T  # dense
+    if leaf == "scale":
+        return key + ".weight", arr
+    if leaf == "embedding":
+        return key + ".weight", arr
+    if leaf in ("bias", "mean", "var"):
+        suffix = {"bias": "bias", "mean": "running_mean",
+                  "var": "running_var"}[leaf]
+        return key + "." + suffix, arr
+    return key + "." + leaf, arr
+
+
+def export_torch_state(variables: dict, path: str | Path,
+                       key_map=None) -> dict:
+    """Write flax variables as a torch-compatible ``.pth`` state dict.
+
+    ``key_map``: optional callable str->str to rename keys into a
+    specific reference module layout (e.g. EMASC conv.N.{0,2}).
+    """
+    import torch
+
+    state = {}
+    params = variables.get("params", variables)
+    stats = variables.get("batch_stats", {})
+    for path_t, arr in {**_flatten(params), **_flatten(stats)}.items():
+        key, value = _to_torch_key_value(path_t, arr)
+        if key_map:
+            key = key_map(key)
+        state[key] = torch.from_numpy(np.ascontiguousarray(value))
+    torch.save(state, str(path))
+    return state
+
+
+def emasc_torch_key_map(key: str) -> str:
+    """flax ``conv.i.j.*`` (from conv_{i}_{j}) -> reference
+    ``conv.i.j.*`` already matches; kept for documentation symmetry."""
+    return key

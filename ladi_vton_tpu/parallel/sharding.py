@@ -1,0 +1,50 @@
+"""Data-parallel execution over the device mesh.
+
+The reference's only distribution strategy is DDP through HF accelerate
+(SURVEY.md §2.5; reference src/train_vto.py:434-442, src/inference.py:
+223) — here the equivalent is batch sharding over the ``data`` axis of a
+``jax.sharding.Mesh``:
+
+* training: ``train.steps.shard_step`` jits the step with sharded batch
+  / replicated params; the gradient mean lowers to a ``psum`` over ICI.
+* inference: ``data_parallel_sampler`` wraps the try-on sampler so each
+  chip denoises its shard of the batch; outputs gather back for saving
+  (the reference's per-rank loop + per-process save).
+
+A ``model`` mesh axis is provisioned for tensor-parallel layouts; at
+LaDI-VTON's scale (0.9B-param UNet, batch-dominated work) DP saturates
+a v5e-8, so TP is intentionally not spent complexity here.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ladi_vton_tpu.core.mesh import MeshSpec, make_mesh  # re-export
+
+
+def eval_shard_batch(mesh, tree):
+    """Device-put a numpy batch with the leading axis sharded on data."""
+    sharding = NamedSharding(mesh, P("data"))
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), tree)
+
+
+def data_parallel_sampler(sample_fn: Callable, mesh) -> Callable:
+    """jit a pipeline sampler with batch-sharded image inputs.
+
+    ``sample_fn(params, image, mask_image, pose_map, warped_cloth,
+    prompt_embeds, negative_prompt_embeds, rng)`` -> images.
+    Batch size must be divisible by the ``data`` axis size (pad via
+    ``data.loader.BatchLoader(pad_last=True)``).
+    """
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        sample_fn,
+        in_shardings=(repl,) + (data,) * 6 + (repl,),
+        out_shardings=data,
+    )

