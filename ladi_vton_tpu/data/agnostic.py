@@ -30,11 +30,17 @@ import dataclasses
 import cv2
 import numpy as np
 
-from ladi_vton_tpu.data.raster import (
-    draw_polyline,
-    pose_heatmaps,
-    pose_keypoint_rects,
-)
+from ladi_vton_tpu.data import native
+from ladi_vton_tpu.data.raster import pose_keypoint_rects
+
+# hot inner loops route through the C++ core when built
+# (native/preprocess.cpp); numpy oracles otherwise
+pose_heatmaps = native.pose_heatmaps
+box_dilate = native.box_dilate
+
+
+def draw_polyline(h, w, points, width, out=None):
+    return native.draw_polyline(h, w, points, width, out)
 
 
 @dataclasses.dataclass
@@ -186,8 +192,7 @@ def compose_agnostic(
         np.logical_and(parse_head > 0, np.logical_not(parse_head_2 > 0)),
     )
 
-    parse_mask = cv2.dilate(parse_mask.astype(np.float32),
-                            np.ones((5, 5), np.uint16), iterations=5)
+    parse_mask = box_dilate(parse_mask.astype(np.float32), 5, 5)
     parse_mask = np.logical_and(changeable > 0, np.logical_not(parse_mask > 0))
     keep = np.logical_or(parse_mask, fixed).astype(np.float32)
 

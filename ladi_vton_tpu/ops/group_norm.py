@@ -1,0 +1,152 @@
+"""Fused GroupNorm + SiLU as Pallas TPU kernels.
+
+SURVEY.md §2.4 maps the reference's cuDNN GroupNorm/SiLU onto "fused
+conv+GroupNorm+SiLU Pallas kernels for the VAE/EMASC hot path".  The
+norm+activation pair is bandwidth-bound: fusing them guarantees exactly
+two HBM passes (one stats pass, one normalize+silu pass) independent of
+what XLA decides to fuse around them.
+
+Two kernels over an NHWC tensor reshaped to (B, HW, C):
+
+* stats: grid (B, row-tiles); accumulates per-channel sum / sumsq into a
+  (B, 2, C) output (TPU grids run sequentially, so revisiting the same
+  output block accumulates safely);
+* apply: grid (B, row-tiles); normalizes with per-group mean/rstd
+  (expanded to channels host-side — tiny), applies affine + SiLU.
+
+Channel counts in the VAE/UNet are multiples of 128 (lane width), rows
+tile at 512.  The XLA fallback (`group_norm_silu_xla`) is the numerics
+oracle and the CPU path; `group_norm_silu` dispatches.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def group_norm_silu_xla(x, scale, bias, *, num_groups=32, eps=1e-6):
+    """Reference implementation (matches models.layers.GroupNorm+silu)."""
+    B = x.shape[0]
+    C = x.shape[-1]
+    orig_shape = x.shape
+    xf = x.reshape(B, -1, num_groups, C // num_groups).astype(jnp.float32)
+    mean = xf.mean(axis=(1, 3), keepdims=True)
+    var = xf.var(axis=(1, 3), keepdims=True)
+    normed = (xf - mean) * jax.lax.rsqrt(var + eps)
+    out = normed.reshape(B, -1, C) * scale.astype(jnp.float32) \
+        + bias.astype(jnp.float32)
+    out = out * jax.nn.sigmoid(out)
+    return out.reshape(orig_shape).astype(x.dtype)
+
+
+def _stats_kernel(x_ref, out_ref):
+    """Accumulate per-channel [sum, sumsq] over row tiles."""
+    tile = x_ref[0].astype(jnp.float32)  # (T, C)
+    s = jnp.sum(tile, axis=0, keepdims=True)
+    sq = jnp.sum(tile * tile, axis=0, keepdims=True)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out_ref[0, 0:1, :] = s
+        out_ref[0, 1:2, :] = sq
+
+    @pl.when(pl.program_id(1) != 0)
+    def _():
+        out_ref[0, 0:1, :] = out_ref[0, 0:1, :] + s
+        out_ref[0, 1:2, :] = out_ref[0, 1:2, :] + sq
+
+
+def _apply_kernel(x_ref, mean_ref, rstd_ref, scale_ref, bias_ref, out_ref):
+    x = x_ref[0].astype(jnp.float32)  # (T, C)
+    mean = mean_ref[0]  # (1, C)
+    rstd = rstd_ref[0]
+    out = (x - mean) * rstd * scale_ref[0] + bias_ref[0]
+    out = out * jax.nn.sigmoid(out)
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+def group_norm_silu_pallas(x, scale, bias, *, num_groups=32, eps=1e-6,
+                           row_tile=512, interpret=False):
+    """Fused GN+SiLU for NHWC (or (B, N, C)) inputs, C % 128 == 0."""
+    orig_shape = x.shape
+    B, C = x.shape[0], x.shape[-1]
+    xr = x.reshape(B, -1, C)
+    N = xr.shape[1]
+    T = min(row_tile, N)
+    if N % T:
+        # pad rows so tiles are uniform; padded rows are excluded from
+        # stats by correcting the count below only if padding is zero —
+        # instead just fall back to XLA for ragged shapes
+        return group_norm_silu_xla(x, scale, bias, num_groups=num_groups,
+                                   eps=eps)
+    tiles = N // T
+
+    stats = pl.pallas_call(
+        _stats_kernel,
+        out_shape=jax.ShapeDtypeStruct((B, 2, C), jnp.float32),
+        grid=(B, tiles),
+        in_specs=[pl.BlockSpec((1, T, C), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 2, C), lambda b, t: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(xr)
+
+    cg = C // num_groups
+    sums = stats[:, 0].reshape(B, num_groups, cg)
+    sqs = stats[:, 1].reshape(B, num_groups, cg)
+    count = N * cg
+    g_mean = sums.sum(-1) / count                      # (B, G)
+    g_var = sqs.sum(-1) / count - g_mean**2
+    g_rstd = jax.lax.rsqrt(g_var + eps)
+    mean_c = jnp.repeat(g_mean, cg, axis=1)[:, None, :]   # (B, 1, C)
+    rstd_c = jnp.repeat(g_rstd, cg, axis=1)[:, None, :]
+
+    out = pl.pallas_call(
+        _apply_kernel,
+        out_shape=jax.ShapeDtypeStruct(xr.shape, x.dtype),
+        grid=(B, tiles),
+        in_specs=[
+            pl.BlockSpec((1, T, C), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, T, C), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(xr, mean_c, rstd_c,
+      scale.reshape(1, C).astype(jnp.float32),
+      bias.reshape(1, C).astype(jnp.float32))
+    return out.reshape(orig_shape)
+
+
+def group_norm_silu(x, scale, bias, *, num_groups=32, eps=1e-6,
+                    impl="auto"):
+    """Dispatch: Pallas on TPU when shapes are kernel-friendly."""
+    if impl == "xla":
+        return group_norm_silu_xla(x, scale, bias, num_groups=num_groups,
+                                   eps=eps)
+    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    C = x.shape[-1]
+    if (impl == "pallas" or on_tpu) and C % 128 == 0:
+        try:
+            return group_norm_silu_pallas(
+                x, scale, bias, num_groups=num_groups, eps=eps,
+                interpret=not on_tpu)
+        except Exception:
+            if impl == "pallas":
+                raise
+    return group_norm_silu_xla(x, scale, bias, num_groups=num_groups,
+                               eps=eps)

@@ -184,3 +184,42 @@ def test_rasterizers_match_pil():
     theirs = np.asarray(img) / 255.0
     iou = (ours * theirs).sum() / max(((ours + theirs) > 0).sum(), 1)
     assert iou > 0.8
+
+
+def test_native_library_matches_numpy_oracles():
+    from ladi_vton_tpu.data import native
+    from ladi_vton_tpu.data.raster import (
+        draw_polyline as np_polyline,
+        pose_heatmaps as np_heatmaps,
+    )
+
+    if not native.build():
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    assert native.native_available()
+
+    rng = np.random.default_rng(0)
+    kps = np.concatenate(
+        [rng.uniform(2, 30, (6, 2)).astype(np.float32),
+         np.array([[0.0, 0.0]], np.float32)]).astype(np.float32)
+    ours = native.pose_heatmaps(kps, (32, 24), 9.0)
+    ref = np_heatmaps(kps, (32, 24), 9.0)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+    pts = np.array([[3, 4], [20, 18], [28, 6]], np.float32)
+    ours = native.draw_polyline(32, 24, pts, 7.0)
+    ref = np_polyline(32, 24, pts, 7.0)
+    np.testing.assert_array_equal(ours, ref)
+
+    import cv2
+
+    m = (rng.uniform(size=(40, 30)) > 0.92).astype(np.float32)
+    ours = native.box_dilate(m, 5, 5)
+    ref = cv2.dilate(m, np.ones((5, 5), np.uint16), iterations=5)
+    np.testing.assert_array_equal(ours, ref)
+
+    img = rng.integers(0, 255, (64, 48, 3), dtype=np.uint8)
+    ours = native.resize_bilinear_u8(img, (32, 24))
+    ref = cv2.resize(img, (24, 32), interpolation=cv2.INTER_LINEAR)
+    assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 1

@@ -145,3 +145,41 @@ def test_causal_attention_matches_torch():
     np.testing.assert_allclose(
         np.asarray(ours), theirs.numpy(), rtol=1e-4, atol=1e-5
     )
+
+
+def test_group_norm_silu_pallas_matches_xla():
+    from ladi_vton_tpu.ops.group_norm import (
+        group_norm_silu_pallas,
+        group_norm_silu_xla,
+    )
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((2, 4, 4, 128)).astype(np.float32)
+    scale = rng.standard_normal(128).astype(np.float32)
+    bias = rng.standard_normal(128).astype(np.float32)
+    ours = group_norm_silu_pallas(jnp.asarray(x), jnp.asarray(scale),
+                                  jnp.asarray(bias), num_groups=32,
+                                  interpret=True, row_tile=8)
+    ref = group_norm_silu_xla(jnp.asarray(x), jnp.asarray(scale),
+                              jnp.asarray(bias), num_groups=32)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_group_norm_silu_matches_flax_groupnorm_plus_silu():
+    import torch
+
+    from ladi_vton_tpu.ops.group_norm import group_norm_silu_xla
+
+    rng = np.random.default_rng(8)
+    x = rng.standard_normal((1, 3, 5, 8)).astype(np.float32)
+    scale = rng.standard_normal(8).astype(np.float32)
+    bias = rng.standard_normal(8).astype(np.float32)
+    ours = group_norm_silu_xla(jnp.asarray(x), jnp.asarray(scale),
+                               jnp.asarray(bias), num_groups=4, eps=1e-6)
+    gn = torch.nn.functional.group_norm(
+        torch.from_numpy(x).permute(0, 3, 1, 2), 4,
+        torch.from_numpy(scale), torch.from_numpy(bias), eps=1e-6)
+    theirs = torch.nn.functional.silu(gn).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(ours), theirs, rtol=1e-4,
+                               atol=1e-5)

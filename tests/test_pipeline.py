@@ -152,3 +152,30 @@ def test_dryrun_multichip_two_devices():
     from __graft_entry__ import dryrun_multichip
 
     dryrun_multichip(2)
+
+
+def test_inpaint_pipeline_end_to_end():
+    from ladi_vton_tpu.pipelines.inpaint import InpaintPipeline
+
+    unet9 = UNet2DCondition(
+        UNetConfig(in_channels=9, block_out_channels=(32, 64, 64, 64),
+                   head_dim=8, cross_attention_dim=64), attn_impl="xla")
+    vae = AutoencoderKL(TINY_VAE)
+    rng = jax.random.key(3)
+    params = {
+        "unet": unet9.init(rng, jnp.zeros((1, H // 8, W // 8, 9)),
+                           jnp.asarray([0]), jnp.zeros((1, 7, 64))),
+        "vae": vae.init(rng, jnp.zeros((1, H, W, 3))),
+    }
+    pipe = InpaintPipeline(unet=unet9, vae=vae, scheduler=DDIMScheduler())
+    out = pipe.sample(
+        params,
+        image=jnp.zeros((1, H, W, 3)),
+        mask_image=jnp.ones((1, H, W, 1)),
+        prompt_embeds=jnp.zeros((1, 7, 64)),
+        negative_prompt_embeds=jnp.zeros((1, 7, 64)),
+        rng=rng,
+        num_inference_steps=2,
+    )
+    assert out.shape == (1, H, W, 3)
+    assert np.isfinite(np.asarray(out)).all()

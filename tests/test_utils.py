@@ -1,0 +1,104 @@
+"""Tokenizer + checkpoint manager tests."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ladi_vton_tpu.utils.tokenizer import CLIPTokenizer
+
+
+@pytest.fixture(scope="module")
+def tiny_tokenizer(tmp_path_factory):
+    """A miniature BPE vocab good enough to exercise the machinery."""
+    root = tmp_path_factory.mktemp("tok")
+    # byte-level symbols + a couple of merges; '$' must land at id 259
+    from ladi_vton_tpu.utils.tokenizer import _bytes_to_unicode
+
+    symbols = list(_bytes_to_unicode().values())
+    vocab = {}
+    for s in symbols:
+        vocab[s] = len(vocab)  # 0..255
+    for s in symbols:
+        vocab[s + "</w>"] = len(vocab)  # 256..511
+    # '$' byte symbol is '$'; its </w> id:
+    vocab["to</w>"] = len(vocab)
+    vocab["<|startoftext|>"] = 49406
+    vocab["<|endoftext|>"] = 49407
+    with open(root / "vocab.json", "w") as f:
+        json.dump(vocab, f)
+    with open(root / "merges.txt", "w") as f:
+        f.write("#version\n")
+        f.write("t o</w>\n")
+    return CLIPTokenizer.from_dir(root)
+
+
+def test_tokenizer_shapes_and_special_tokens(tiny_tokenizer):
+    tok = tiny_tokenizer
+    ids = tok(["to", ""])
+    assert ids.shape == (2, 77)
+    assert ids[0, 0] == 49406  # bos
+    assert ids[0, 2] == 49407  # eos right after the merged token
+    assert ids[1, 1] == 49407  # empty prompt: eos immediately
+    # padding is eos
+    assert np.all(ids[:, -1] == 49407)
+
+
+def test_tokenizer_dollar_encodes_to_end_of_word_entry(tiny_tokenizer):
+    """'$' must encode to the single '$</w>' vocab entry — in the real
+    CLIP vocab that entry is id 259, the PTE splice anchor
+    (reference encode_text_word_embedding.py:12)."""
+    tok = tiny_tokenizer
+    assert tok.encode("$") == [tok.encoder["$</w>"]]
+    # repeated '$' tokens each encode independently (the prompt template
+    # uses ' $ ' * 16)
+    assert tok.encode(" $  $ ") == [tok.encoder["$</w>"]] * 2
+
+
+def test_tokenizer_merge_applies(tiny_tokenizer):
+    tok = tiny_tokenizer
+    ids = tok.encode("to")
+    assert ids == [tok.encoder["to</w>"]]
+
+
+def test_checkpoint_manager_save_restore_gc(tmp_path):
+    from ladi_vton_tpu.core.checkpoint import CheckpointManager
+    from ladi_vton_tpu.train.steps import TrainState, make_optimizer
+
+    params = {"w": jnp.ones((4, 4)), "b": jnp.zeros((4,))}
+    state = TrainState.create(params, make_optimizer(1e-3))
+    mgr = CheckpointManager(tmp_path / "ckpts", keep=2)
+
+    for step in (10, 20, 30):
+        state = state.replace(step=jnp.asarray(step))
+        mgr.save(step, state)
+    # keep-last-2 GC dropped checkpoint-10
+    assert mgr.latest_step() == 30
+    steps = [s for s, _ in mgr._step_dirs()]
+    assert steps == [20, 30]
+
+    restored = mgr.restore(state)
+    assert int(restored.step) == 30
+    np.testing.assert_allclose(np.asarray(restored.params["w"]),
+                               np.asarray(state.params["w"]))
+
+    with pytest.raises(FileNotFoundError):
+        CheckpointManager(tmp_path / "empty").restore(state)
+
+
+def test_export_torch_state_layouts(tmp_path):
+    from ladi_vton_tpu.core.checkpoint import export_torch_state
+
+    variables = {"params": {
+        "conv_in": {"kernel": np.ones((3, 3, 4, 8), np.float32),
+                    "bias": np.zeros(8, np.float32)},
+        "norm1": {"scale": np.ones(8, np.float32),
+                  "bias": np.zeros(8, np.float32)},
+        "dense_0": {"kernel": np.ones((8, 16), np.float32)},
+    }}
+    state = export_torch_state(variables, tmp_path / "x.pth")
+    assert state["conv_in.weight"].shape == (8, 4, 3, 3)
+    assert state["norm1.weight"].shape == (8,)
+    assert state["dense.0.weight"].shape == (16, 8)
