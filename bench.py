@@ -80,7 +80,8 @@ def main():
         ]),
     }
 
-    sampler = pipe.jit_sample(num_inference_steps=steps, guidance_scale=7.5)
+    sampler = pipe.jit_sample(split=True, num_inference_steps=steps,
+                              guidance_scale=7.5)
     args = dict(
         image=jnp.zeros((B, H, W, 3), dtype),
         mask_image=jnp.ones((B, H, W, 1), dtype),
@@ -91,12 +92,16 @@ def main():
         rng=rng,
     )
 
+    import numpy as np
+
     def run():
         out = sampler(params, args["image"], args["mask_image"],
                       args["pose_map"], args["warped_cloth"],
                       args["prompt_embeds"], args["negative_prompt_embeds"],
                       args["rng"])
-        out.block_until_ready()
+        # NB: block_until_ready is unreliable through the axon relay —
+        # force a (tiny) host fetch to serialize properly
+        np.asarray(out[:, 0, 0, 0])
         return out
 
     run()  # compile

@@ -147,9 +147,10 @@ def main(argv=None):
     clip_mean = jnp.asarray([0.48145466, 0.4578275, 0.40821073], dtype)
     clip_std = jnp.asarray([0.26862954, 0.26130258, 0.27577711], dtype)
 
+    # conditioning assembly compiles separately from the denoise scan so
+    # no single XLA program becomes prohibitively large
     @jax.jit
-    def generate(image, inpaint_mask, pose_map, cloth, im_mask,
-                 input_ids, rng):
+    def condition(pose_map, cloth, im_mask, input_ids):
         # 1. TPS warp at low res (reference src/inference.py:242-260)
         low_cloth = resize_bilinear(cloth, (256, 192)).astype(jnp.float32)
         low_mask = resize_bilinear(im_mask, (256, 192)).astype(jnp.float32)
@@ -177,19 +178,20 @@ def main(argv=None):
                                             args.num_vstar)
         uncond_ids = jnp.broadcast_to(empty_ids, input_ids.shape)
         neg_ehs, _ = text_model.apply(text_vars, uncond_ids)
+        return warped, ehs, neg_ehs
+
+    sampler = pipe.jit_sample(
+        split=True, num_inference_steps=args.num_inference_steps,
+        guidance_scale=args.guidance_scale)
+
+    def generate(image, inpaint_mask, pose_map, cloth, im_mask,
+                 input_ids, rng):
+        warped, ehs, neg_ehs = condition(pose_map, cloth, im_mask,
+                                         input_ids)
         # 5. try-on pipeline (reference :298-311)
-        return pipe.sample(
-            params,
-            image=image.astype(dtype),
-            mask_image=inpaint_mask.astype(dtype),
-            pose_map=pose_map.astype(dtype),
-            warped_cloth=warped,
-            prompt_embeds=ehs,
-            negative_prompt_embeds=neg_ehs,
-            rng=rng,
-            num_inference_steps=args.num_inference_steps,
-            guidance_scale=args.guidance_scale,
-        )
+        return sampler(params, image.astype(dtype),
+                       inpaint_mask.astype(dtype), pose_map.astype(dtype),
+                       warped, ehs, neg_ehs, rng)
 
     empty_ids = jnp.asarray(tokenizer([""])[0])
 

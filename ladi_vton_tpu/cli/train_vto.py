@@ -207,6 +207,7 @@ def main(argv=None):
         text_usage=args.text_usage,
         cloth_input_type=args.cloth_input_type,
         train_inversion_adapter=args.train_inversion_adapter,
+        gradient_accumulation_steps=args.gradient_accumulation_steps,
     )
     empty_ids = jnp.asarray(tokenizer([""])[0])
     step_fn = make_vto_train_step(

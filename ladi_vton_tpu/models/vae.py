@@ -236,6 +236,76 @@ class AutoencoderKL(nn.Module):
         z = dist.sample(rng) if rng is not None else dist.mode()
         return self.decode(z), dist, feats
 
+    def tiled_encode(self, x: jax.Array, *, tile: int = 512,
+                     overlap: float = 0.25):
+        """Memory-escape-hatch tiled encode (reference
+        AutoencoderKL.py:200-243): overlapping spatial tiles encoded
+        independently, latents blended at the seams.  Feature taps are
+        not available in tiled mode (EMASC runs at standard sizes)."""
+        blend = int(tile // 8 * overlap)
+        stride = int(tile * (1 - overlap))
+        B, H, W, _ = x.shape
+        rows = []
+        for i in range(0, H, stride):
+            cols = []
+            for j in range(0, W, stride):
+                patch = x[:, i:i + tile, j:j + tile, :]
+                moments, _ = self.encode(patch)
+                cols.append(moments)
+            rows.append(cols)
+        return _blend_tiles(rows, blend)
+
+    def tiled_decode(self, z: jax.Array, *, tile: int = 64,
+                     overlap: float = 0.25):
+        """Tiled decode (reference AutoencoderKL.py:245-290)."""
+        blend = int(tile * 8 * overlap)
+        stride = int(tile * (1 - overlap))
+        B, H, W, _ = z.shape
+        rows = []
+        for i in range(0, H, stride):
+            cols = []
+            for j in range(0, W, stride):
+                patch = z[:, i:i + tile, j:j + tile, :]
+                cols.append(self.decode(patch))
+            rows.append(cols)
+        return _blend_tiles(rows, blend)
+
+
+def _blend_tiles(rows, blend: int) -> jax.Array:
+    """Linear seam blending of overlapping tiles
+    (reference AutoencoderKL.py blend_v/blend_h)."""
+    import numpy as np
+
+    def ramp(n):
+        return jnp.asarray(np.linspace(0.0, 1.0, n, endpoint=False),
+                           jnp.float32)
+
+    blended_rows = []
+    for i, cols in enumerate(rows):
+        row = None
+        for j, tile_arr in enumerate(cols):
+            t = tile_arr.astype(jnp.float32)
+            if j > 0 and blend > 0:
+                b = min(blend, t.shape[2], row.shape[2])
+                w = ramp(b)[None, None, :, None]
+                seam = row[:, :, -b:, :] * (1 - w) + t[:, :, :b, :] * w
+                row = jnp.concatenate([row[:, :, :-b, :], seam,
+                                       t[:, :, b:, :]], axis=2)
+            else:
+                row = t
+        blended_rows.append(row)
+    out = None
+    for i, row in enumerate(blended_rows):
+        if i > 0 and blend > 0:
+            b = min(blend, row.shape[1], out.shape[1])
+            w = ramp(b)[None, :, None, None]
+            seam = out[:, -b:, :, :] * (1 - w) + row[:, :b, :, :] * w
+            out = jnp.concatenate([out[:, :-b, :, :], seam,
+                                   row[:, b:, :, :]], axis=1)
+        else:
+            out = row
+    return out
+
 
 class DiagonalGaussian:
     """Diagonal gaussian over NHWC moments (mean/logvar split on channels).

@@ -81,7 +81,7 @@ def generate_images_from_tryon_pipe(
     clip_std = jnp.asarray([0.26862954, 0.26130258, 0.27577711])
 
     @jax.jit
-    def run(image, mask, pose, warped, input_ids, clip_feats, rng):
+    def encode_text(input_ids, clip_feats):
         if text_usage == "inversion_adapter":
             ptes = inversion_adapter.apply(adapter_vars, clip_feats)
             ehs, _ = encode_text_word_embedding(
@@ -90,13 +90,19 @@ def generate_images_from_tryon_pipe(
             ehs, _ = text_model.apply(text_vars, input_ids)
         uncond_ids = jnp.broadcast_to(empty_ids, input_ids.shape)
         neg_ehs, _ = text_model.apply(text_vars, uncond_ids)
-        return pipe.sample(
-            params, image=image, mask_image=mask, pose_map=pose,
-            warped_cloth=warped if cloth_input_type == "warped" else None,
-            prompt_embeds=ehs, negative_prompt_embeds=neg_ehs, rng=rng,
-            num_inference_steps=num_inference_steps,
-            guidance_scale=guidance_scale,
-            cloth_cond_rate=cloth_cond_rate, no_pose=no_pose)
+        return ehs, neg_ehs
+
+    sampler = pipe.jit_sample(
+        split=True, num_inference_steps=num_inference_steps,
+        guidance_scale=guidance_scale, cloth_cond_rate=cloth_cond_rate,
+        no_pose=no_pose)
+
+    def run(image, mask, pose, warped, input_ids, clip_feats, rng):
+        ehs, neg_ehs = encode_text(input_ids, clip_feats)
+        return sampler(
+            params, image, mask, pose,
+            warped if cloth_input_type == "warped" else None,
+            ehs, neg_ehs, rng)
 
     @jax.jit
     def vision_feats(cloth):

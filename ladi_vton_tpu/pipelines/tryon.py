@@ -87,22 +87,39 @@ class TryOnPipeline:
         (the reference's ``cloth_input_type='none'``); prompt embeds:
         (B,77,D).
         """
+        prepared = self.prepare(params, image=image, mask_image=mask_image,
+                                pose_map=pose_map,
+                                warped_cloth=warped_cloth, rng=rng,
+                                no_pose=no_pose)
+        if latents is not None:
+            prepared["latents"] = latents * self.scheduler.init_noise_sigma
+        intermediate = prepared.pop("intermediate")
+        latents = self.denoise(
+            params, prepared, prompt_embeds=prompt_embeds,
+            negative_prompt_embeds=negative_prompt_embeds,
+            num_inference_steps=num_inference_steps,
+            guidance_scale=guidance_scale,
+            cloth_cond_rate=cloth_cond_rate)
+        return self.decode(params, latents, intermediate)
+
+    # ------------------------------------------------------------------
+    # split-program variant: identical math, three modest XLA programs
+    # (prep / denoise-scan / decode) instead of one monolith.  Useful
+    # where compile latency of the fused program is prohibitive (remote
+    # compile services); the per-batch cost is two extra dispatches.
+
+    def prepare(self, params, *, image, mask_image, pose_map,
+                warped_cloth, rng, no_pose: bool = False):
         B, H, W, _ = image.shape
         lh, lw = H // self.vae_scale_factor, W // self.vae_scale_factor
         sf = self.vae.config.scaling_factor
-        do_cfg = guidance_scale > 1.0
-        use_emasc = self.emasc is not None
-
         rng_latents, rng_masked, rng_cloth = jax.random.split(rng, 3)
 
         mask, masked_image = prepare_mask_and_masked_image(image, mask_image)
-
-        # pose downsampled 8x (reference :632-636)
         pose_lat = resize_bilinear(pose_map, (lh, lw))
         if no_pose:
             pose_lat = jnp.zeros_like(pose_lat)
 
-        # warped-cloth latents (reference :639-647)
         if warped_cloth is not None:
             moments, _ = self.vae.apply(params["vae"], warped_cloth,
                                         method="encode")
@@ -110,39 +127,53 @@ class TryOnPipeline:
         else:
             cloth_latents = None
 
-        # masked-image latents + EMASC features (reference :670-699)
         moments, feats = self.vae.apply(params["vae"], masked_image,
                                         method="encode")
         masked_latents = DiagonalGaussian(moments).sample(rng_masked) * sf
         mask_lat = resize_nearest(mask, (lh, lw))
 
         intermediate = None
-        if use_emasc:
+        if self.emasc is not None:
             selected = [feats[i] for i in self.emasc_int_layers]
             adapted = self.emasc.apply(params["emasc"], selected)
             intermediate = mask_features(adapted, mask_image)
 
-        # initial noise
-        if latents is None:
-            latents = jax.random.normal(rng_latents, (B, lh, lw, 4),
-                                        jnp.float32)
+        latents = jax.random.normal(rng_latents, (B, lh, lw, 4),
+                                    jnp.float32)
         latents = latents * self.scheduler.init_noise_sigma
+        return {
+            "latents": latents,
+            "mask_lat": mask_lat,
+            "masked_latents": masked_latents,
+            "pose_lat": pose_lat,
+            "cloth_latents": cloth_latents,
+            "intermediate": intermediate,
+        }
+
+    def denoise(self, params, prepared, *, prompt_embeds,
+                negative_prompt_embeds, num_inference_steps: int = 50,
+                guidance_scale: float = 7.5,
+                cloth_cond_rate: float = 1.0):
+        do_cfg = guidance_scale > 1.0
+        latents = prepared["latents"]
+        mask_lat = prepared["mask_lat"]
+        masked_latents = prepared["masked_latents"]
+        pose_lat = prepared["pose_lat"]
+        cloth_latents = prepared["cloth_latents"]
 
         timesteps = self.scheduler.set_timesteps(num_inference_steps)
-        cloth_conditioning_steps = (1.0 - cloth_cond_rate) * num_inference_steps
-        cloth_gate_from = num_inference_steps - cloth_conditioning_steps
+        cloth_gate_from = (num_inference_steps
+                           - (1.0 - cloth_cond_rate) * num_inference_steps)
 
-        # CFG-side static tensors (uncond halves zeroed, reference :702-705)
         if do_cfg:
             mask_in = jnp.concatenate([mask_lat] * 2)
             masked_in = jnp.concatenate([masked_latents] * 2)
             pose_in = jnp.concatenate([jnp.zeros_like(pose_lat), pose_lat])
-            context = jnp.concatenate([negative_prompt_embeds, prompt_embeds])
-            if cloth_latents is not None:
-                cloth_in = jnp.concatenate(
-                    [jnp.zeros_like(cloth_latents), cloth_latents])
-            else:
-                cloth_in = None
+            context = jnp.concatenate([negative_prompt_embeds,
+                                       prompt_embeds])
+            cloth_in = (jnp.concatenate([jnp.zeros_like(cloth_latents),
+                                         cloth_latents])
+                        if cloth_latents is not None else None)
         else:
             mask_in, masked_in, pose_in = mask_lat, masked_latents, pose_lat
             context = prompt_embeds
@@ -164,15 +195,15 @@ class TryOnPipeline:
             if do_cfg:
                 uncond, text = jnp.split(noise_pred, 2, axis=0)
                 noise_pred = uncond + guidance_scale * (text - uncond)
-            latents = self.scheduler.step(noise_pred, t, latents)
-            return latents, None
+            return self.scheduler.step(noise_pred, t, latents), None
 
         steps = (jnp.arange(num_inference_steps), timesteps)
         latents, _ = jax.lax.scan(denoise_step, latents, steps)
+        return latents
 
-        # decode (reference :349-359, 749-753)
-        z = latents / sf
-        if use_emasc:
+    def decode(self, params, latents, intermediate=None):
+        z = latents / self.vae.config.scaling_factor
+        if self.emasc is not None and intermediate is not None:
             decoded = self.vae.apply(params["vae"], z, intermediate,
                                      tuple(self.emasc_int_layers),
                                      method="decode")
@@ -180,22 +211,51 @@ class TryOnPipeline:
             decoded = self.vae.apply(params["vae"], z, method="decode")
         return jnp.clip(decoded.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
 
-    def jit_sample(self, **static_kwargs):
-        """A jitted sampler with the static config baked in."""
-        fn = functools.partial(self.sample, **static_kwargs)
+    def jit_sample(self, split: bool = False, **static_kwargs):
+        """A jitted sampler with the static config baked in.
 
-        @functools.partial(jax.jit, static_argnames=())
+        ``split=True`` compiles prep/denoise/decode as three programs —
+        identical numerics, far smaller compile units.
+        """
+        if not split:
+            fn = functools.partial(self.sample, **static_kwargs)
+
+            @jax.jit
+            def sampler(params, image, mask_image, pose_map, warped_cloth,
+                        prompt_embeds, negative_prompt_embeds, rng):
+                return fn(
+                    params,
+                    image=image,
+                    mask_image=mask_image,
+                    pose_map=pose_map,
+                    warped_cloth=warped_cloth,
+                    prompt_embeds=prompt_embeds,
+                    negative_prompt_embeds=negative_prompt_embeds,
+                    rng=rng,
+                )
+
+            return sampler
+
+        gen_keys = ("num_inference_steps", "guidance_scale",
+                    "cloth_cond_rate")
+        prep_kwargs = {k: v for k, v in static_kwargs.items()
+                       if k == "no_pose"}
+        den_kwargs = {k: v for k, v in static_kwargs.items()
+                      if k in gen_keys}
+
+        prep = jax.jit(functools.partial(self.prepare, **prep_kwargs))
+        den = jax.jit(functools.partial(self.denoise, **den_kwargs))
+        dec = jax.jit(self.decode)
+
         def sampler(params, image, mask_image, pose_map, warped_cloth,
                     prompt_embeds, negative_prompt_embeds, rng):
-            return fn(
-                params,
-                image=image,
-                mask_image=mask_image,
-                pose_map=pose_map,
-                warped_cloth=warped_cloth,
-                prompt_embeds=prompt_embeds,
-                negative_prompt_embeds=negative_prompt_embeds,
-                rng=rng,
-            )
+            prepared = prep(params, image=image, mask_image=mask_image,
+                            pose_map=pose_map, warped_cloth=warped_cloth,
+                            rng=rng)
+            intermediate = prepared.pop("intermediate")
+            latents = den(params, prepared,
+                          prompt_embeds=prompt_embeds,
+                          negative_prompt_embeds=negative_prompt_embeds)
+            return dec(params, latents, intermediate)
 
         return sampler

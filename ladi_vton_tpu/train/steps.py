@@ -82,6 +82,7 @@ class VTOStepConfig:
     cloth_input_type: str = "warped"  # | 'none'
     train_inversion_adapter: bool = False
     num_train_timesteps: int = 1000
+    gradient_accumulation_steps: int = 1
 
 
 def make_vto_train_step(
@@ -190,7 +191,38 @@ def make_vto_train_step(
         state = state.apply_gradients(grads)
         return state, {"loss": loss}
 
-    return step
+    if cfg.gradient_accumulation_steps <= 1:
+        return step
+
+    # microbatch gradient accumulation inside one jitted step
+    # (reference uses accelerate.accumulate, src/train_vto.py:519);
+    # here the global batch reshapes to (A, b, ...) and a lax.scan
+    # accumulates grads before one optimizer update.
+    A = cfg.gradient_accumulation_steps
+
+    def accum_step(state: TrainState, frozen, batch, rng):
+        def reshape(x):
+            return x.reshape(A, x.shape[0] // A, *x.shape[1:])
+
+        micro = jax.tree_util.tree_map(reshape, batch)
+        grad_fn = jax.value_and_grad(loss_fn)
+
+        def body(carry, inp):
+            acc, loss_sum = carry
+            mb, mb_rng = inp
+            loss, grads = grad_fn(state.params, frozen, mb, mb_rng)
+            acc = jax.tree_util.tree_map(jnp.add, acc, grads)
+            return (acc, loss_sum + loss), None
+
+        zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        rngs = jax.random.split(rng, A)
+        (grads, loss_sum), _ = jax.lax.scan(
+            body, (zero, jnp.asarray(0.0, jnp.float32)), (micro, rngs))
+        grads = jax.tree_util.tree_map(lambda g: g / A, grads)
+        state = state.apply_gradients(grads)
+        return state, {"loss": loss_sum / A}
+
+    return accum_step
 
 
 def make_emasc_train_step(*, vae, emasc, vgg, int_layers=(1, 2, 3, 4, 5),
