@@ -150,21 +150,12 @@ class TryOnPipeline:
             "intermediate": intermediate,
         }
 
-    def denoise(self, params, prepared, *, prompt_embeds,
-                negative_prompt_embeds, num_inference_steps: int = 50,
-                guidance_scale: float = 7.5,
-                cloth_cond_rate: float = 1.0):
-        do_cfg = guidance_scale > 1.0
-        latents = prepared["latents"]
+    def _cfg_inputs(self, prepared, prompt_embeds, negative_prompt_embeds,
+                    do_cfg: bool):
         mask_lat = prepared["mask_lat"]
         masked_latents = prepared["masked_latents"]
         pose_lat = prepared["pose_lat"]
         cloth_latents = prepared["cloth_latents"]
-
-        timesteps = self.scheduler.set_timesteps(num_inference_steps)
-        cloth_gate_from = (num_inference_steps
-                           - (1.0 - cloth_cond_rate) * num_inference_steps)
-
         if do_cfg:
             mask_in = jnp.concatenate([mask_lat] * 2)
             masked_in = jnp.concatenate([masked_latents] * 2)
@@ -178,24 +169,48 @@ class TryOnPipeline:
             mask_in, masked_in, pose_in = mask_lat, masked_latents, pose_lat
             context = prompt_embeds
             cloth_in = cloth_latents
+        return mask_in, masked_in, pose_in, cloth_in, context
+
+    def denoise_one_step(self, params, latents, step_i, t, *, mask_in,
+                         masked_in, pose_in, cloth_in, context,
+                         guidance_scale: float, cloth_gate_from: float):
+        """A single denoise update — the unit of the host-driven loop."""
+        do_cfg = guidance_scale > 1.0
+        lmi = jnp.concatenate([latents] * 2) if do_cfg else latents
+        parts = [lmi, mask_in.astype(lmi.dtype),
+                 masked_in.astype(lmi.dtype), pose_in.astype(lmi.dtype)]
+        if cloth_in is not None:
+            gated = jnp.where(step_i >= cloth_gate_from,
+                              jnp.zeros_like(cloth_in), cloth_in)
+            parts.append(gated.astype(lmi.dtype))
+        model_in = jnp.concatenate(parts, axis=-1)
+        noise_pred = self.unet.apply(
+            params["unet"], model_in,
+            jnp.broadcast_to(t, (model_in.shape[0],)), context)
+        if do_cfg:
+            uncond, text = jnp.split(noise_pred, 2, axis=0)
+            noise_pred = uncond + guidance_scale * (text - uncond)
+        return self.scheduler.step(noise_pred, t, latents)
+
+    def denoise(self, params, prepared, *, prompt_embeds,
+                negative_prompt_embeds, num_inference_steps: int = 50,
+                guidance_scale: float = 7.5,
+                cloth_cond_rate: float = 1.0):
+        do_cfg = guidance_scale > 1.0
+        latents = prepared["latents"]
+        timesteps = self.scheduler.set_timesteps(num_inference_steps)
+        cloth_gate_from = (num_inference_steps
+                           - (1.0 - cloth_cond_rate) * num_inference_steps)
+        mask_in, masked_in, pose_in, cloth_in, context = self._cfg_inputs(
+            prepared, prompt_embeds, negative_prompt_embeds, do_cfg)
 
         def denoise_step(latents, step):
             i, t = step
-            lmi = jnp.concatenate([latents] * 2) if do_cfg else latents
-            parts = [lmi, mask_in.astype(lmi.dtype),
-                     masked_in.astype(lmi.dtype), pose_in.astype(lmi.dtype)]
-            if cloth_in is not None:
-                gated = jnp.where(i >= cloth_gate_from,
-                                  jnp.zeros_like(cloth_in), cloth_in)
-                parts.append(gated.astype(lmi.dtype))
-            model_in = jnp.concatenate(parts, axis=-1)
-            noise_pred = self.unet.apply(
-                params["unet"], model_in,
-                jnp.broadcast_to(t, (model_in.shape[0],)), context)
-            if do_cfg:
-                uncond, text = jnp.split(noise_pred, 2, axis=0)
-                noise_pred = uncond + guidance_scale * (text - uncond)
-            return self.scheduler.step(noise_pred, t, latents), None
+            return self.denoise_one_step(
+                params, latents, i, t, mask_in=mask_in, masked_in=masked_in,
+                pose_in=pose_in, cloth_in=cloth_in, context=context,
+                guidance_scale=guidance_scale,
+                cloth_gate_from=cloth_gate_from), None
 
         steps = (jnp.arange(num_inference_steps), timesteps)
         latents, _ = jax.lax.scan(denoise_step, latents, steps)
@@ -218,7 +233,9 @@ class TryOnPipeline:
         identical numerics, far smaller compile units.
         """
         if not split:
-            fn = functools.partial(self.sample, **static_kwargs)
+            fn = functools.partial(
+                self.sample, **{k: v for k, v in static_kwargs.items()
+                                if k != "denoise_mode"})
 
             @jax.jit
             def sampler(params, image, mask_image, pose_map, warped_cloth,
@@ -242,10 +259,40 @@ class TryOnPipeline:
                        if k == "no_pose"}
         den_kwargs = {k: v for k, v in static_kwargs.items()
                       if k in gen_keys}
+        denoise_mode = static_kwargs.get("denoise_mode", "scan")
 
         prep = jax.jit(functools.partial(self.prepare, **prep_kwargs))
-        den = jax.jit(functools.partial(self.denoise, **den_kwargs))
         dec = jax.jit(self.decode)
+
+        if denoise_mode == "scan":
+            den = jax.jit(functools.partial(self.denoise, **den_kwargs))
+        else:
+            # host-driven loop: one compiled step, N dispatches — for
+            # environments where compiling the scan program is
+            # impractical; numerics identical.
+            n_steps = den_kwargs.get("num_inference_steps", 50)
+            g = den_kwargs.get("guidance_scale", 7.5)
+            rate = den_kwargs.get("cloth_cond_rate", 1.0)
+            gate = n_steps - (1.0 - rate) * n_steps
+            step_fn = jax.jit(functools.partial(
+                self.denoise_one_step, guidance_scale=g,
+                cloth_gate_from=gate))
+            timesteps = self.scheduler.set_timesteps(n_steps)
+            host_ts = [int(t) for t in timesteps]
+
+            def den(params, prepared, *, prompt_embeds,
+                    negative_prompt_embeds):
+                mask_in, masked_in, pose_in, cloth_in, context = (
+                    self._cfg_inputs(prepared, prompt_embeds,
+                                     negative_prompt_embeds, g > 1.0))
+                latents = prepared["latents"]
+                for i, t in enumerate(host_ts):
+                    latents = step_fn(
+                        params, latents, jnp.asarray(i), jnp.asarray(t),
+                        mask_in=mask_in, masked_in=masked_in,
+                        pose_in=pose_in, cloth_in=cloth_in,
+                        context=context)
+                return latents
 
         def sampler(params, image, mask_image, pose_map, warped_cloth,
                     prompt_embeds, negative_prompt_embeds, rng):

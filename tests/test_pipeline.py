@@ -179,3 +179,42 @@ def test_inpaint_pipeline_end_to_end():
     )
     assert out.shape == (1, H, W, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_generate_images_driver_end_to_end(tmp_path):
+    """Batch driver: text encode -> split sampler -> per-category save."""
+    import os
+
+    from ladi_vton_tpu.models.clip import CLIPTextConfig, CLIPTextModel
+    from ladi_vton_tpu.pipelines.drivers import (
+        generate_images_from_tryon_pipe,
+    )
+
+    pipe, params = _tiny_pipeline(with_emasc=True)
+    text_model = CLIPTextModel(CLIPTextConfig(
+        vocab_size=300, hidden_size=64, num_hidden_layers=1,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=8))
+    text_vars = text_model.init(jax.random.key(0),
+                                jnp.zeros((1, 8), jnp.int32))
+
+    class FakeTokenizer:
+        model_max_length = 8
+
+        def __call__(self, texts, **kw):
+            return np.zeros((len(texts), 8), np.int32)
+
+    batch = {
+        "image": np.zeros((2, H, W, 3), np.float32),
+        "inpaint_mask": np.ones((2, H, W, 1), np.float32),
+        "pose_map": np.zeros((2, H, W, 18), np.float32),
+        "warped_cloth": np.zeros((2, H, W, 3), np.float32),
+        "im_name": ["a_0.jpg", "b_0.jpg"],
+        "category": ["upper_body", "dresses"],
+    }
+    save_dir = str(tmp_path / "gen")
+    generate_images_from_tryon_pipe(
+        pipe, params, text_model, text_vars, FakeTokenizer(),
+        [batch], save_dir, text_usage="none", num_inference_steps=2)
+    assert os.path.exists(os.path.join(save_dir, "upper_body", "a_0.jpg"))
+    assert os.path.exists(os.path.join(save_dir, "dresses", "b_0.jpg"))
