@@ -161,3 +161,105 @@ class DDIMScheduler:
         if eta > 0.0 and noise is not None:
             prev = prev + sigma * noise.astype(jnp.float32)
         return prev.astype(sample.dtype)
+
+
+class PNDMScheduler:
+    """PLMS sampler (PNDM with skip_prk_steps, the SD configuration).
+
+    The reference pipeline's scheduler union includes PNDM alongside
+    DDIM/LMS (reference tryon_pipe.py scheduler type hints); DDIM is
+    what the CLIs instantiate, PNDM is provided for surface parity.
+    Functional state (epsilon history + counter) is carried explicitly
+    so the loop scans/jits; ``make_step`` returns (init_state, step_fn).
+    """
+
+    def __init__(self, config: SchedulerConfig = SchedulerConfig()):
+        self.config = config
+        self.alphas_cumprod = jnp.asarray(_make_alphas_cumprod(config))
+        self.final_alpha_cumprod = (
+            jnp.asarray(1.0, jnp.float32)
+            if config.set_alpha_to_one
+            else self.alphas_cumprod[0]
+        )
+        self.init_noise_sigma = 1.0
+
+    def set_timesteps(self, num_inference_steps: int) -> jax.Array:
+        """PLMS plan: standard spacing with the second step repeated
+        (diffusers' skip-prk timestep duplication) — UNet runs n+1x."""
+        T = self.config.num_train_timesteps
+        ratio = T // num_inference_steps
+        base = (np.arange(num_inference_steps) * ratio).round().astype(
+            np.int64) + self.config.steps_offset
+        base = base[::-1].copy()
+        plan = np.concatenate([base[:1], base[1:2], base[1:]])
+        self.num_inference_steps = num_inference_steps
+        return jnp.asarray(plan)
+
+    def scale_model_input(self, sample, t):
+        return sample
+
+    def _prev_sample(self, sample, timestep, prev_timestep, eps):
+        a_t = jnp.where(timestep >= 0,
+                        self.alphas_cumprod[jnp.maximum(timestep, 0)],
+                        self.final_alpha_cumprod).astype(jnp.float32)
+        a_prev = jnp.where(prev_timestep >= 0,
+                           self.alphas_cumprod[
+                               jnp.maximum(prev_timestep, 0)],
+                           self.final_alpha_cumprod).astype(jnp.float32)
+        b_t = 1.0 - a_t
+        b_prev = 1.0 - a_prev
+        coef = (a_prev - a_t) / (
+            jnp.sqrt(a_t) * (jnp.sqrt(a_prev * b_t)
+                             + jnp.sqrt(a_t * b_prev)))
+        return (jnp.sqrt(a_prev / a_t) * sample.astype(jnp.float32)
+                - coef * eps.astype(jnp.float32)).astype(sample.dtype)
+
+    def init_state(self, latents_shape, dtype=jnp.float32):
+        return {
+            "ets": jnp.zeros((4,) + tuple(latents_shape), jnp.float32),
+            "ets_count": jnp.zeros((), jnp.int32),
+            "cur_sample": jnp.zeros(latents_shape, dtype),
+            "counter": jnp.zeros((), jnp.int32),
+        }
+
+    def step(self, state, model_output, timestep, sample):
+        """One PLMS update; returns (state, prev_sample)."""
+        stride = (self.config.num_train_timesteps
+                  // self.num_inference_steps)
+        counter = state["counter"]
+        is_second = counter == 1
+        eps = model_output.astype(jnp.float32)
+
+        # history update (skipped on the duplicated second call)
+        ets = jnp.where(is_second, state["ets"],
+                        jnp.concatenate([state["ets"][1:], eps[None]]))
+        ets_count = jnp.where(is_second, state["ets_count"],
+                              jnp.minimum(state["ets_count"] + 1, 4))
+
+        prev_t = jnp.where(is_second, timestep,
+                           timestep - stride)
+        t_eff = jnp.where(is_second, timestep + stride, timestep)
+
+        e1, e2, e3, e4 = ets[3], ets[2], ets[1], ets[0]
+        blended = jnp.select(
+            [jnp.logical_and(ets_count == 1, counter == 0),
+             jnp.logical_and(ets_count == 1, is_second),
+             ets_count == 2,
+             ets_count == 3],
+            [eps,
+             (eps + e1) / 2.0,
+             (3 * e1 - e2) / 2.0,
+             (23 * e1 - 16 * e2 + 5 * e3) / 12.0],
+            (55 * e1 - 59 * e2 + 37 * e3 - 9 * e4) / 24.0)
+
+        cur_sample = jnp.where(counter == 0, sample,
+                               state["cur_sample"]).astype(sample.dtype)
+        base = jnp.where(is_second, cur_sample, sample)
+        prev = self._prev_sample(base, t_eff, prev_t, blended)
+        new_state = {
+            "ets": ets,
+            "ets_count": ets_count,
+            "cur_sample": cur_sample,
+            "counter": counter + 1,
+        }
+        return new_state, prev

@@ -73,6 +73,28 @@ class Trackers:
                 backend.write(json.dumps({"step": step, **metrics}) + "\n")
                 backend.flush()
 
+    def log_images(self, tag: str, images, step: int, output_dir=None):
+        """Image-grid logging (the reference's wandb.Image grids,
+        src/train_tps.py:474-490): wandb/tb when live, PNG dump always."""
+        import numpy as np
+
+        arr = np.asarray(images)
+        for kind, backend in self.backends:
+            if kind == "wandb":
+                backend.log({tag: [backend.Image(a) for a in arr]},
+                            step=step)
+            elif kind == "tb":
+                backend.add_images(tag, arr.transpose(0, 3, 1, 2), step)
+        if output_dir:
+            from PIL import Image as PILImage
+
+            grid_dir = Path(output_dir) / "samples"
+            grid_dir.mkdir(parents=True, exist_ok=True)
+            for i, a in enumerate(arr[:8]):
+                PILImage.fromarray(
+                    (np.clip(a, 0, 1) * 255).astype("uint8")
+                ).save(grid_dir / f"{tag.replace('/', '_')}_{step}_{i}.png")
+
     def finish(self):
         for kind, backend in self.backends:
             if kind == "wandb":

@@ -101,3 +101,34 @@ def test_splice_grad_flows_to_ptes():
 
     g = jax.grad(loss)(jnp.ones((1, 2, 4)))
     assert np.all(np.asarray(g) != 0.0)
+
+
+def test_pndm_plan_and_convergence():
+    """PLMS plan duplicates the 2nd step; sampler tracks DDIM on a
+    linear score model (both integrate the same ODE)."""
+    from ladi_vton_tpu.diffusion.schedulers import PNDMScheduler
+
+    sched = PNDMScheduler()
+    ts = np.asarray(sched.set_timesteps(10))
+    assert len(ts) == 11
+    assert ts[1] == ts[2]  # duplicated second step
+
+    ddim = DDIMScheduler()
+    ddim_ts = ddim.set_timesteps(10)
+
+    # model: eps(x, t) = x (linear; exact solution exists)
+    x_ddim = jnp.ones((1, 4))
+    for t in np.asarray(ddim_ts):
+        x_ddim = ddim.step(x_ddim, jnp.asarray(t), x_ddim)
+
+    x = jnp.ones((1, 4))
+    state = sched.init_state(x.shape)
+    for t in np.asarray(ts):
+        eps = x  # model output
+        state, x = sched.step(state, eps, jnp.asarray(int(t)), x)
+
+    # both should contract toward 0 with broadly similar magnitude
+    assert np.all(np.abs(np.asarray(x)) < 1.0)
+    assert np.isfinite(np.asarray(x)).all()
+    ratio = float(jnp.abs(x).mean() / (jnp.abs(x_ddim).mean() + 1e-8))
+    assert 0.1 < ratio < 10.0
