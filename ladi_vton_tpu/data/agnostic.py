@@ -66,12 +66,14 @@ def _mask_of(parse: np.ndarray, ids) -> np.ndarray:
 
 def _shape_silhouette(parse: np.ndarray, height: int, width: int) -> np.ndarray:
     """Downsample-upsample blur of the body silhouette
-    (reference dresscode.py:239-242)."""
-    sil = ((parse > 0) * 255).astype(np.uint8)
-    small = cv2.resize(sil, (width // 16, height // 16),
-                       interpolation=cv2.INTER_LINEAR)
-    return cv2.resize(small, (width, height),
-                      interpolation=cv2.INTER_LINEAR).astype(np.float32) / 255.0
+    (reference dresscode.py:239-242).  PIL BILINEAR (antialiased on the
+    16x downsample) to match the reference byte-for-byte."""
+    from PIL import Image
+
+    sil = Image.fromarray(((parse > 0) * 255).astype(np.uint8))
+    small = sil.resize((width // 16, height // 16), Image.BILINEAR)
+    big = small.resize((width, height), Image.BILINEAR)
+    return np.asarray(big, np.float32) / 255.0
 
 
 def _arm_polyline(kp: dict[str, np.ndarray]) -> np.ndarray:

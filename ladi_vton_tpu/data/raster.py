@@ -56,9 +56,11 @@ def draw_ellipse(h: int, w: int, x0: float, y0: float, x1: float,
 
 def draw_polyline(h: int, w: int, points: np.ndarray, width: float,
                   out: np.ndarray | None = None) -> np.ndarray:
-    """Thick polyline as a union of capsules (round caps + joints).
+    """Thick polyline with PIL semantics: flat-capped segment
+    rectangles + round disks at *interior* joints (``joint='curve'``).
 
-    ``points``: (N, 2) xy, truncated to uint16 like the reference casts.
+    ``points``: (N, 2) xy, truncated to uint16 like the reference casts
+    (dresscode.py:301-322).
     """
     if out is None:
         out = np.zeros((h, w), np.float32)
@@ -72,14 +74,15 @@ def draw_polyline(h: int, w: int, points: np.ndarray, width: float,
         dx, dy = x1 - x0, y1 - y0
         seg_len_sq = dx * dx + dy * dy
         if seg_len_sq == 0:
-            dist_sq = (xs - x0) ** 2 + (ys - y0) ** 2
-        else:
-            t = np.clip(((xs - x0) * dx + (ys - y0) * dy) / seg_len_sq,
-                        0.0, 1.0)
-            px = x0 + t * dx
-            py = y0 + t * dy
-            dist_sq = (xs - px) ** 2 + (ys - py) ** 2
-        covered |= dist_sq <= r * r
+            continue
+        t = ((xs - x0) * dx + (ys - y0) * dy) / seg_len_sq
+        px = x0 + t * dx
+        py = y0 + t * dy
+        dist_sq = (xs - px) ** 2 + (ys - py) ** 2
+        covered |= (t >= 0.0) & (t <= 1.0) & (dist_sq <= r * r)
+    # round joints at interior vertices only (flat end caps like PIL)
+    for (jx, jy) in pts[1:-1]:
+        covered |= (xs - jx) ** 2 + (ys - jy) ** 2 <= r * r
     out[covered] = 1.0
     return out
 

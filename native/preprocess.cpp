@@ -49,9 +49,10 @@ void keypoint_heatmaps(const float* kpoints, int n_points, int height,
     }
 }
 
-// Thick polyline as a union of capsules (round caps/joints == PIL
-// joint='curve'); coordinates pre-truncated to uint16 by the caller's
-// contract (data/raster.py).  Writes 1.0 into covered pixels of `out`.
+// Thick polyline with PIL semantics: flat-capped segment rectangles +
+// round disks at *interior* joints (joint='curve'); coordinates
+// pre-truncated to uint16 per the caller's contract (data/raster.py).
+// Writes 1.0 into covered pixels of `out`.
 void draw_polyline(const float* points, int n_points, int height,
                    int width, float line_width, float* out) {
     if (n_points < 2) return;
@@ -64,7 +65,7 @@ void draw_polyline(const float* points, int n_points, int height,
         float y1 = (float)(uint16_t)points[2 * s + 3];
         float dx = x1 - x0, dy = y1 - y0;
         float len2 = dx * dx + dy * dy;
-        // bounding box of the capsule, clipped to the image
+        if (len2 == 0.0f) continue;
         int jy0 = std::max(0, (int)std::floor(std::min(y0, y1) - r));
         int jy1 = std::min(height - 1, (int)std::ceil(std::max(y0, y1) + r));
         int jx0 = std::max(0, (int)std::floor(std::min(x0, x1) - r));
@@ -72,16 +73,26 @@ void draw_polyline(const float* points, int n_points, int height,
         for (int i = jy0; i <= jy1; ++i) {
             float* row = out + (size_t)i * width;
             for (int j = jx0; j <= jx1; ++j) {
-                float px, py;
-                if (len2 == 0.0f) {
-                    px = x0; py = y0;
-                } else {
-                    float t = ((j - x0) * dx + (i - y0) * dy) / len2;
-                    t = std::min(1.0f, std::max(0.0f, t));
-                    px = x0 + t * dx;
-                    py = y0 + t * dy;
-                }
+                float t = ((j - x0) * dx + (i - y0) * dy) / len2;
+                if (t < 0.0f || t > 1.0f) continue;  // flat caps
+                float px = x0 + t * dx, py = y0 + t * dy;
                 float ddx = j - px, ddy = i - py;
+                if (ddx * ddx + ddy * ddy <= r2) row[j] = 1.0f;
+            }
+        }
+    }
+    // round joints at interior vertices
+    for (int p = 1; p + 1 < n_points; ++p) {
+        float cx = (float)(uint16_t)points[2 * p];
+        float cy = (float)(uint16_t)points[2 * p + 1];
+        int jy0 = std::max(0, (int)std::floor(cy - r));
+        int jy1 = std::min(height - 1, (int)std::ceil(cy + r));
+        int jx0 = std::max(0, (int)std::floor(cx - r));
+        int jx1 = std::min(width - 1, (int)std::ceil(cx + r));
+        for (int i = jy0; i <= jy1; ++i) {
+            float* row = out + (size_t)i * width;
+            for (int j = jx0; j <= jx1; ++j) {
+                float ddx = j - cx, ddy = i - cy;
                 if (ddx * ddx + ddy * ddy <= r2) row[j] = 1.0f;
             }
         }
