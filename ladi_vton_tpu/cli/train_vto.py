@@ -318,6 +318,57 @@ def main(argv=None):
                         state.params["adapter"])["params"]},
                     Path(args.output_dir)
                     / f"inversion_adapter_{step}.pth")
+            # validation images + metrics through the try-on pipeline
+            # (reference :661-699); best-effort — training never dies on
+            # a validation failure (reference wraps in try/except too)
+            try:
+                _run_validation(step, state)
+            except Exception as e:  # noqa: BLE001
+                logger.info(f"validation at step {step} skipped: {e}")
+
+        def _run_validation(step, state):
+            from ladi_vton_tpu.diffusion.schedulers import DDIMScheduler
+            from ladi_vton_tpu.pipelines.drivers import (
+                generate_images_from_tryon_pipe,
+            )
+            from ladi_vton_tpu.pipelines.tryon import TryOnPipeline
+
+            outputlist_v = [o for o in outputlist if o != "captions"] + (
+                ["captions"] if args.text_usage == "noun_chunks" else [])
+            test_dataset = build_dataset(args, "test", args.test_order,
+                                         tuple(outputlist_v))
+            test_loader = BatchLoader(test_dataset, args.test_batch_size,
+                                      num_workers=args.num_workers_test,
+                                      pad_last=True)
+            pipe = TryOnPipeline(unet=unet, vae=vae, emasc=None,
+                                 scheduler=DDIMScheduler())
+            val_params = {
+                "unet": jax.device_get(state.params["unet"]),
+                "vae": vae_vars,
+            }
+            adapter_v = (state.params.get("adapter")
+                         if args.train_inversion_adapter else adapter_vars)
+            save_dir = str(Path(args.output_dir) / f"imgs_step_{step}"
+                           / args.test_order)
+            generate_images_from_tryon_pipe(
+                pipe, val_params, text_model, text_vars, tokenizer,
+                test_loader, save_dir, inversion_adapter=adapter,
+                adapter_vars=adapter_v, vision=vision,
+                vision_vars=vision_vars, text_usage=args.text_usage,
+                num_vstar=args.num_vstar, seed=args.seed,
+                cloth_input_type=args.cloth_input_type)
+            try:
+                from ladi_vton_tpu.metrics.compute import compute_metrics
+
+                metrics = compute_metrics(
+                    save_dir, args.test_order, args.dataset, "all",
+                    ["all"], args.dresscode_dataroot,
+                    args.vitonhd_dataroot)
+                trackers.log({f"val/{k}": v for k, v in metrics.items()},
+                             step)
+                logger.info(f"validation metrics at {step}: {metrics}")
+            except FileNotFoundError as e:
+                logger.info(f"metric weights unavailable: {e}")
 
         state, final_step = train_loop(
             state=state, frozen=frozen, loader=_forever(loader),

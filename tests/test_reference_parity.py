@@ -187,3 +187,72 @@ def test_shape_silhouette_close(both_items):
     theirs = _chw_to_hwc(ref["shape"].numpy())[..., 0]
     mine = ours["shape"][..., 0]
     assert np.abs(mine - theirs).mean() < 0.05
+
+
+@pytest.fixture(scope="module")
+def vitonhd_fixture(tmp_path_factory):
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("vh_parity")
+    phase_root = root / "train"
+    rng = np.random.default_rng(7)
+    for sub in ("cloth", "image", "image-parse-v3", "openpose_json"):
+        (phase_root / sub).mkdir(parents=True)
+    pairs = []
+    for i in range(1):
+        im = f"{i:05d}_00.jpg"
+        pairs.append(f"{im} {im}")
+        Image.fromarray(rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
+                        ).save(phase_root / "image" / im, quality=95)
+        Image.fromarray(rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
+                        ).save(phase_root / "cloth" / im, quality=95)
+        parse = np.zeros((H, W), np.uint8)
+        parse[10:40, 30:70] = 13  # face
+        parse[35:45, 25:75] = 2   # hair
+        parse[45:90, 25:75] = 5   # upper
+        parse[90:120, 30:70] = 9  # bottom
+        parse[45:95, 15:25] = 14
+        parse[45:95, 75:85] = 15
+        Image.fromarray(parse, mode="L").save(
+            phase_root / "image-parse-v3" / im.replace(".jpg", ".png"))
+        body25 = np.zeros((25, 3))
+        body25[:, 0] = np.linspace(150, 500, 25)
+        body25[:, 1] = np.linspace(100, 800, 25)
+        body25[2, :2] = (260, 260)
+        body25[3, :2] = (210, 420)
+        body25[4, :2] = (190, 580)
+        body25[5, :2] = (500, 260)
+        body25[6, :2] = (550, 420)
+        body25[7, :2] = (570, 580)
+        body25[:, 2] = 1.0
+        with open(phase_root / "openpose_json"
+                  / im.replace(".jpg", "_keypoints.json"), "w") as f:
+            json.dump({"people": [{"pose_keypoints_2d":
+                                   body25.reshape(-1).tolist()}]}, f)
+    with open(root / "train_pairs.txt", "w") as f:
+        f.write("\n".join(pairs) + "\n")
+    return root
+
+
+def test_vitonhd_masks_match_reference(vitonhd_fixture, both_items):
+    # both_items ensures the torchvision shim is installed
+    sys.path.insert(0, str(REFERENCE))
+    try:
+        from src.dataset.vitonhd import VitonHDDataset as RefVH
+
+        ref = RefVH(dataroot_path=str(vitonhd_fixture), phase="train",
+                    outputlist=("image", "pose_map", "inpaint_mask",
+                                "im_mask"), size=(H, W))[0]
+    finally:
+        sys.path.remove(str(REFERENCE))
+
+    from ladi_vton_tpu.data.vitonhd import VitonHDDataset
+
+    ours = VitonHDDataset(str(vitonhd_fixture), phase="train",
+                          outputlist=("image", "pose_map", "inpaint_mask",
+                                      "im_mask"), size=(H, W))[0]
+    np.testing.assert_allclose(
+        ours["pose_map"], _chw_to_hwc(ref["pose_map"].numpy()), atol=1e-4)
+    theirs_mask = _chw_to_hwc(ref["inpaint_mask"].numpy())[..., 0]
+    agree = (ours["inpaint_mask"][..., 0] == theirs_mask).mean()
+    assert agree > 0.98, f"vitonhd inpaint mask agreement {agree:.4f}"
