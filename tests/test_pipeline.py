@@ -218,3 +218,31 @@ def test_generate_images_driver_end_to_end(tmp_path):
         [batch], save_dir, text_usage="none", num_inference_steps=2)
     assert os.path.exists(os.path.join(save_dir, "upper_body", "a_0.jpg"))
     assert os.path.exists(os.path.join(save_dir, "dresses", "b_0.jpg"))
+
+
+def test_tryon_service_pads_and_strips(tmp_path):
+    from ladi_vton_tpu.pipelines.serving import TryOnService
+
+    pipe, params = _tiny_pipeline(with_emasc=True)
+    svc = TryOnService(pipe, params, batch_size=2, height=H, width=W,
+                       num_inference_steps=2, context_dim=64)
+    out = svc.generate(
+        image=np.zeros((1, H, W, 3), np.float32),
+        inpaint_mask=np.ones((1, H, W, 1), np.float32),
+        pose_map=np.zeros((1, H, W, 18), np.float32),
+        warped_cloth=np.zeros((1, H, W, 3), np.float32),
+        prompt_embeds=np.zeros((1, 7, 64), np.float32),
+        negative_prompt_embeds=np.zeros((1, 7, 64), np.float32),
+    )
+    assert out.shape == (1, H, W, 3)  # padding stripped
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        svc.generate(
+            image=np.zeros((3, H, W, 3), np.float32),
+            inpaint_mask=np.ones((3, H, W, 1), np.float32),
+            pose_map=np.zeros((3, H, W, 18), np.float32),
+            warped_cloth=np.zeros((3, H, W, 3), np.float32),
+            prompt_embeds=np.zeros((3, 7, 64), np.float32),
+            negative_prompt_embeds=np.zeros((3, 7, 64), np.float32),
+        )

@@ -102,3 +102,41 @@ def test_export_torch_state_layouts(tmp_path):
     assert state["conv_in.weight"].shape == (8, 4, 3, 3)
     assert state["norm1.weight"].shape == (8,)
     assert state["dense.0.weight"].shape == (16, 8)
+
+
+def test_train_loop_runs_and_checkpoints(tmp_path):
+    """runner.train_loop: step counting, logging cadence, checkpoint GC."""
+    import jax
+    import logging
+
+    from ladi_vton_tpu.core.checkpoint import CheckpointManager
+    from ladi_vton_tpu.train.runner import LoopConfig, Trackers, train_loop
+    from ladi_vton_tpu.train.steps import TrainState, make_optimizer
+
+    params = {"w": jnp.ones((2, 2))}
+    state = TrainState.create(params, make_optimizer(1e-2))
+
+    def step_fn(state, frozen, batch, rng):
+        loss = jnp.sum(state.params["w"] * batch["x"].mean())
+        grads = jax.grad(
+            lambda p: jnp.sum(p["w"] * batch["x"].mean()))(state.params)
+        return state.apply_gradients(grads), {"loss": loss}
+
+    batches = [{"x": jnp.ones((2,)) * i} for i in range(4)]
+
+    def forever():
+        while True:
+            yield from batches
+
+    mgr = CheckpointManager(tmp_path / "ck", keep=2)
+    trackers = Trackers(None, "test", str(tmp_path), {})
+    state, final = train_loop(
+        state=state, frozen={}, loader=forever(),
+        jitted_step=jax.jit(step_fn),
+        shard_batch=lambda b: b, ckpt_manager=mgr,
+        loop=LoopConfig(max_train_steps=7, checkpointing_steps=3,
+                        log_every=2),
+        logger=logging.getLogger("t"), trackers=trackers)
+    assert final == 7
+    assert int(state.step) == 7
+    assert mgr.latest_step() == 7  # final save
