@@ -135,3 +135,38 @@ def emasc_torch_key_map(key: str) -> str:
     """flax ``conv.i.j.*`` (from conv_{i}_{j}) -> reference
     ``conv.i.j.*`` already matches; kept for documentation symmetry."""
     return key
+
+
+def unet_torch_key_map(key: str) -> str:
+    """Map exported flax UNet keys to diffusers' module layout so the
+    ``unet_{step}.pth`` this framework writes loads into the reference's
+    UNet2DConditionModel (hubconf.py:30-37) and back through
+    ``hub.convert.convert_unet``:
+
+    * attention output proj: ``to_out.weight`` -> ``to_out.0.weight``
+      (diffusers wraps it in a Sequential with dropout)
+    * GEGLU feed-forward: ``ff.proj_geglu`` -> ``ff.net.0.proj``,
+      ``ff.proj_out`` -> ``ff.net.2``
+    """
+    key = re.sub(r"\.to_out\.(weight|bias)$", r".to_out.0.\1", key)
+    key = re.sub(r"\.ff\.proj_geglu\.", ".ff.net.0.proj.", key)
+    key = re.sub(r"\.ff\.proj_out\.", ".ff.net.2.", key)
+    # time_embedding keeps literal underscores in diffusers
+    key = key.replace("time_embedding.linear.1.", "time_embedding.linear_1.")
+    key = key.replace("time_embedding.linear.2.", "time_embedding.linear_2.")
+    return key
+
+
+def clip_text_torch_key_map(key: str) -> str:
+    """Exported flax CLIP text keys -> transformers CLIPTextModel keys
+    (embeddings/encoder prefixes + mlp_fcN -> mlp.fcN)."""
+    key = re.sub(r"^token_embedding\.", "text_model.embeddings."
+                 "token_embedding.", key)
+    key = re.sub(r"^position_embedding\.", "text_model.embeddings."
+                 "position_embedding.", key)
+    key = re.sub(r"^layers\.(\d+)\.", r"text_model.encoder.layers.\1.", key)
+    key = re.sub(r"^final_layer_norm\.", "text_model.final_layer_norm.",
+                 key)
+    key = key.replace(".mlp_fc1.", ".mlp.fc1.")
+    key = key.replace(".mlp_fc2.", ".mlp.fc2.")
+    return key

@@ -171,3 +171,47 @@ def test_tps_and_refinement_export_then_convert_round_trip():
     a = tps.apply(variables, cloth, agn)[0]
     b = tps.apply(jax.tree_util.tree_map(jnp.asarray, back), cloth, agn)[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_unet_export_then_convert_round_trip():
+    """flax UNet -> diffusers-layout .pth -> convert_unet -> same output."""
+    from ladi_vton_tpu.core.checkpoint import unet_torch_key_map
+    from ladi_vton_tpu.hub.convert import convert_unet
+    from ladi_vton_tpu.models.unet_condition import (
+        UNet2DCondition,
+        UNetConfig,
+    )
+
+    unet = UNet2DCondition(
+        UNetConfig(in_channels=9, block_out_channels=(32, 64, 64, 64),
+                   head_dim=8, cross_attention_dim=16), attn_impl="xla")
+    x = jnp.zeros((1, 16, 16, 9))
+    t = jnp.asarray([3])
+    ctx = jnp.ones((1, 5, 16)) * 0.1
+    variables = unet.init(jax.random.key(0), x, t, ctx)
+
+    state = _fake_state_from_flax(variables, key_map=unet_torch_key_map)
+    # diffusers-layout keys present
+    assert any(k.endswith("attn1.to_out.0.weight") for k in state)
+    assert any(".ff.net.0.proj.weight" in k for k in state)
+    back = convert_unet(state, use_linear_projection=True)
+
+    a = unet.apply(variables, x, t, ctx)
+    b = unet.apply(jax.tree_util.tree_map(jnp.asarray, back), x, t, ctx)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_vae_export_then_convert_round_trip():
+    from ladi_vton_tpu.hub.convert import convert_vae
+    from ladi_vton_tpu.models.vae import AutoencoderKL, VAEConfig
+
+    vae = AutoencoderKL(VAEConfig(block_out_channels=(32, 32, 64, 64)))
+    x = jnp.ones((1, 32, 32, 3)) * 0.2
+    variables = vae.init(jax.random.key(0), x)
+    state = _fake_state_from_flax(variables)
+    assert "encoder.down_blocks.0.resnets.0.norm1.weight" in state
+    back = convert_vae(state)
+    a, _ = vae.apply(variables, x, method="encode")
+    b, _ = vae.apply(jax.tree_util.tree_map(jnp.asarray, back), x,
+                     method="encode")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
