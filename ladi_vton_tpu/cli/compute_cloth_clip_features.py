@@ -62,11 +62,11 @@ def main(argv=None):
     clip_std = jnp.asarray([0.26862954, 0.26130258, 0.27577711])
 
     @jax.jit
-    def run(cloth):
+    def run(vv, cloth):
         x = jnp.clip(resize_bilinear((cloth + 1.0) * 0.5, (224, 224)),
                      0, 1)
         x = (x - clip_mean) / clip_std
-        return vision.apply(vision_vars, x)
+        return vision.apply(vv, x)
 
     loader = BatchLoader(dataset, args.batch_size,
                          num_workers=args.num_workers, pad_last=True)
@@ -74,7 +74,7 @@ def main(argv=None):
     feats: list[np.ndarray] = []
     seen: set[str] = set()
     for batch in loader:
-        out = np.asarray(run(jnp.asarray(batch["cloth"])))
+        out = np.asarray(run(vision_vars, jnp.asarray(batch["cloth"])))
         for name, feat in zip(batch["c_name"], out):
             if name in seen:
                 continue

@@ -148,9 +148,18 @@ def main(argv=None):
     clip_std = jnp.asarray([0.26862954, 0.26130258, 0.27577711], dtype)
 
     # conditioning assembly compiles separately from the denoise scan so
-    # no single XLA program becomes prohibitively large
+    # no single XLA program becomes prohibitively large; the weight trees
+    # travel as ARGUMENTS — closing over them would bake gigabytes of
+    # constants into the program
+    cond_params = {"tps": tps_vars, "ref": ref_vars,
+                   "vision": vision_vars, "adapter": adapter_vars,
+                   "text": text_vars}
+
     @jax.jit
-    def condition(pose_map, cloth, im_mask, input_ids):
+    def condition(cp, pose_map, cloth, im_mask, input_ids):
+        tps_vars, ref_vars = cp["tps"], cp["ref"]
+        vision_vars, adapter_vars = cp["vision"], cp["adapter"]
+        text_vars = cp["text"]
         # 1. TPS warp at low res (reference src/inference.py:242-260)
         low_cloth = resize_bilinear(cloth, (256, 192)).astype(jnp.float32)
         low_mask = resize_bilinear(im_mask, (256, 192)).astype(jnp.float32)
@@ -186,8 +195,8 @@ def main(argv=None):
 
     def generate(image, inpaint_mask, pose_map, cloth, im_mask,
                  input_ids, rng):
-        warped, ehs, neg_ehs = condition(pose_map, cloth, im_mask,
-                                         input_ids)
+        warped, ehs, neg_ehs = condition(cond_params, pose_map, cloth,
+                                         im_mask, input_ids)
         # 5. try-on pipeline (reference :298-311)
         return sampler(params, image.astype(dtype),
                        inpaint_mask.astype(dtype), pose_map.astype(dtype),

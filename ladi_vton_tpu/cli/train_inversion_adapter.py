@@ -161,11 +161,11 @@ def main(argv=None):
     vision_apply = None
     if vision is not None:
         @jax.jit
-        def vision_apply(cloth):
+        def vision_apply(vv, cloth):
             x = jnp.clip(resize_bilinear((cloth + 1.0) * 0.5, (224, 224)),
                          0, 1)
             x = ((x - clip_mean) / clip_std).astype(dtype)
-            return vision.apply(vision_vars, x)
+            return vision.apply(vv, x)
 
     mesh = make_mesh(MeshSpec())
     with mesh:
@@ -196,7 +196,7 @@ def main(argv=None):
             if args.use_clip_cloth_features:
                 feats = np.asarray(batch["clip_cloth_features"])
             else:
-                feats = np.asarray(vision_apply(jnp.asarray(batch["cloth"])))
+                feats = np.asarray(vision_apply(vision_vars, jnp.asarray(batch["cloth"])))
             return {
                 "image": batch["image"],
                 "im_mask": batch["im_mask"],

@@ -287,14 +287,14 @@ def main(argv=None):
             clip_std = jnp.asarray([0.26862954, 0.26130258, 0.27577711])
 
             @jax.jit
-            def _vision_apply(cloth):
+            def _vision_apply(vv, cloth):
                 x = jnp.clip(resize_bilinear(
                     (jnp.asarray(cloth) + 1.0) * 0.5, (224, 224)), 0, 1)
                 x = ((x - clip_mean) / clip_std).astype(dtype)
-                return vision.apply(vision_vars, x)
+                return vision.apply(vv, x)
 
         def _vision_features(cloth):
-            return _vision_apply(jnp.asarray(cloth))
+            return _vision_apply(vision_vars, jnp.asarray(cloth))
 
         def _make_prompts(batch, args):
             if args.text_usage == "noun_chunks":

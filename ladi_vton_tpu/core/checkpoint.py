@@ -95,19 +95,20 @@ def _to_torch_key_value(path: tuple, arr: np.ndarray):
         parts.extend(re.sub(r"_(\d+)", r".\1", p).split("."))
     leaf = path[-1]
     key = ".".join(parts)
+    dot = key + "." if key else ""
     if leaf == "kernel":
         if arr.ndim == 4:  # conv HWIO -> OIHW
-            return key + ".weight", np.transpose(arr, (3, 2, 0, 1))
-        return key + ".weight", arr.T  # dense
+            return dot + "weight", np.transpose(arr, (3, 2, 0, 1))
+        return dot + "weight", arr.T  # dense
     if leaf == "scale":
-        return key + ".weight", arr
+        return dot + "weight", arr
     if leaf == "embedding":
-        return key + ".weight", arr
+        return dot + "weight", arr
     if leaf in ("bias", "mean", "var"):
         suffix = {"bias": "bias", "mean": "running_mean",
                   "var": "running_var"}[leaf]
-        return key + "." + suffix, arr
-    return key + "." + leaf, arr
+        return dot + suffix, arr
+    return dot + leaf, arr
 
 
 def export_torch_state(variables: dict, path: str | Path,
@@ -154,6 +155,77 @@ def unet_torch_key_map(key: str) -> str:
     # time_embedding keeps literal underscores in diffusers
     key = key.replace("time_embedding.linear.1.", "time_embedding.linear_1.")
     key = key.replace("time_embedding.linear.2.", "time_embedding.linear_2.")
+    return key
+
+
+def clip_vision_torch_key_map(key: str) -> str:
+    """Exported flax CLIP vision keys -> transformers CLIPVisionModel."""
+    key = re.sub(r"^class_embedding",
+                 "vision_model.embeddings.class_embedding", key)
+    key = re.sub(r"^patch_embedding\.",
+                 "vision_model.embeddings.patch_embedding.", key)
+    key = re.sub(r"^position_embedding\.",
+                 "vision_model.embeddings.position_embedding.", key)
+    key = re.sub(r"^pre_layrnorm\.", "vision_model.pre_layrnorm.", key)
+    key = re.sub(r"^layers\.(\d+)\.",
+                 r"vision_model.encoder.layers.\1.", key)
+    key = key.replace(".mlp_fc1.", ".mlp.fc1.")
+    key = key.replace(".mlp_fc2.", ".mlp.fc2.")
+    return key
+
+
+def inversion_adapter_torch_key_map(key: str) -> str:
+    """Exported adapter keys -> reference InversionAdapter layout
+    (inversion_adapter.py: encoder_layers.N, post_layernorm, layers.N)."""
+    key = key.replace(".mlp_fc1.", ".mlp.fc1.")
+    key = key.replace(".mlp_fc2.", ".mlp.fc2.")
+    return key
+
+
+def tps_torch_key_map(key: str) -> str:
+    """Exported ConvNetTPS keys -> reference ConvNet_TPS Sequential
+    indices (ConvNet_TPS.py:29-55,90-123)."""
+    ext_convs = {0: 0, 1: 3, 2: 6, 3: 9, 4: 12, 5: 15}
+    ext_bns = {0: 2, 1: 5, 2: 8, 3: 11, 4: 14}
+    reg_convs = {0: 0, 1: 3, 2: 6, 3: 9}
+    reg_bns = {0: 1, 1: 4, 2: 7, 3: 10}
+    m = re.match(r"(extraction[AB])\.conv\.(\d+)\.(.*)", key)
+    if m:
+        return f"{m.group(1)}.model.{ext_convs[int(m.group(2))]}.{m.group(3)}"
+    m = re.match(r"(extraction[AB])\.bn\.(\d+)\.(.*)", key)
+    if m:
+        return f"{m.group(1)}.model.{ext_bns[int(m.group(2))]}.{m.group(3)}"
+    m = re.match(r"regression\.conv\.(\d+)\.(.*)", key)
+    if m:
+        return (f"loc_net.regression.conv."
+                f"{reg_convs[int(m.group(1))]}.{m.group(2)}")
+    m = re.match(r"regression\.bn\.(\d+)\.(.*)", key)
+    if m:
+        return (f"loc_net.regression.conv."
+                f"{reg_bns[int(m.group(1))]}.{m.group(2)}")
+    if key.startswith("regression.linear"):
+        return key.replace("regression.linear", "loc_net.regression.linear")
+    return key
+
+
+def refinement_torch_key_map(key: str) -> str:
+    """Exported UNetVanilla keys -> reference unet_parts Sequential
+    layout (double_conv indices 0/1/3/4; down maxpool_conv.1; up conv)."""
+    conv_idx = {0: 0, 1: 3}
+    bn_idx = {0: 1, 1: 4}
+    m = re.match(r"(inc|down\d|up\d)\.(conv|bn)\.(\d)\.(.*)", key)
+    if m:
+        mod, kind, i, rest = m.groups()
+        idx = (conv_idx if kind == "conv" else bn_idx)[int(i)]
+        if mod == "inc":
+            prefix = "inc.double_conv"
+        elif mod.startswith("down"):
+            prefix = f"{mod}.maxpool_conv.1.double_conv"
+        else:
+            prefix = f"{mod}.conv.double_conv"
+        return f"{prefix}.{idx}.{rest}"
+    if key.startswith("outc."):
+        return key.replace("outc.", "outc.conv.")
     return key
 
 

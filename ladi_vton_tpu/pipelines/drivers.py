@@ -80,16 +80,19 @@ def generate_images_from_tryon_pipe(
     clip_mean = jnp.asarray([0.48145466, 0.4578275, 0.40821073])
     clip_std = jnp.asarray([0.26862954, 0.26130258, 0.27577711])
 
+    # weight trees as jit ARGUMENTS (closures would bake GBs of constants)
+    text_cond_params = {"text": text_vars, "adapter": adapter_vars}
+
     @jax.jit
-    def encode_text(input_ids, clip_feats):
+    def encode_text(tp, input_ids, clip_feats):
         if text_usage == "inversion_adapter":
-            ptes = inversion_adapter.apply(adapter_vars, clip_feats)
+            ptes = inversion_adapter.apply(tp["adapter"], clip_feats)
             ehs, _ = encode_text_word_embedding(
-                text_model, text_vars, input_ids, ptes, num_vstar)
+                text_model, tp["text"], input_ids, ptes, num_vstar)
         else:
-            ehs, _ = text_model.apply(text_vars, input_ids)
+            ehs, _ = text_model.apply(tp["text"], input_ids)
         uncond_ids = jnp.broadcast_to(empty_ids, input_ids.shape)
-        neg_ehs, _ = text_model.apply(text_vars, uncond_ids)
+        neg_ehs, _ = text_model.apply(tp["text"], uncond_ids)
         return ehs, neg_ehs
 
     sampler = pipe.jit_sample(
@@ -98,20 +101,20 @@ def generate_images_from_tryon_pipe(
         no_pose=no_pose)
 
     def run(image, mask, pose, warped, input_ids, clip_feats, rng):
-        ehs, neg_ehs = encode_text(input_ids, clip_feats)
+        ehs, neg_ehs = encode_text(text_cond_params, input_ids, clip_feats)
         return sampler(
             params, image, mask, pose,
             warped if cloth_input_type == "warped" else None,
             ehs, neg_ehs, rng)
 
     @jax.jit
-    def vision_feats(cloth):
+    def vision_feats(vv, cloth):
         from ladi_vton_tpu.ops.resize import resize_bilinear
 
         x = jnp.clip(resize_bilinear((cloth + 1.0) * 0.5, (224, 224)),
                      0.0, 1.0)
         x = (x - clip_mean) / clip_std
-        return vision.apply(vision_vars, x)
+        return vision.apply(vv, x)
 
     seen: set[str] = set()
     for step, batch in enumerate(loader):
@@ -119,7 +122,8 @@ def generate_images_from_tryon_pipe(
             if "clip_cloth_features" in batch:
                 clip_feats = jnp.asarray(batch["clip_cloth_features"])
             else:
-                clip_feats = vision_feats(jnp.asarray(batch["cloth"]))
+                clip_feats = vision_feats(vision_vars,
+                                          jnp.asarray(batch["cloth"]))
             prompts = [
                 f'a photo of a model wearing '
                 f'{CATEGORY_PROMPT_TEXT[c]} {" $ " * num_vstar}'

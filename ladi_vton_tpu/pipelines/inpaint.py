@@ -121,19 +121,22 @@ def generate_images_inversion_adapter(
     clip_mean = jnp.asarray([0.48145466, 0.4578275, 0.40821073])
     clip_std = jnp.asarray([0.26862954, 0.26130258, 0.27577711])
 
+    all_params = {"pipe": params, "text": text_vars,
+                  "adapter": adapter_vars, "vision": vision_vars}
+
     @jax.jit
-    def run(image, mask, cloth, input_ids, clip_feats, rng):
+    def run(ap, image, mask, cloth, input_ids, clip_feats, rng):
         if clip_feats is None:
             x = jnp.clip(resize_bilinear((cloth + 1) * 0.5, (224, 224)),
                          0, 1)
-            clip_feats = vision.apply(vision_vars,
+            clip_feats = vision.apply(ap["vision"],
                                       (x - clip_mean) / clip_std)
-        ptes = inversion_adapter.apply(adapter_vars, clip_feats)
-        ehs, _ = encode_text_word_embedding(text_model, text_vars,
+        ptes = inversion_adapter.apply(ap["adapter"], clip_feats)
+        ehs, _ = encode_text_word_embedding(text_model, ap["text"],
                                             input_ids, ptes, num_vstar)
         neg, _ = text_model.apply(
-            text_vars, jnp.broadcast_to(empty_ids, input_ids.shape))
-        return pipe.sample(params, image=image, mask_image=mask,
+            ap["text"], jnp.broadcast_to(empty_ids, input_ids.shape))
+        return pipe.sample(ap["pipe"], image=image, mask_image=mask,
                            prompt_embeds=ehs, negative_prompt_embeds=neg,
                            rng=rng,
                            num_inference_steps=num_inference_steps,
@@ -149,7 +152,7 @@ def generate_images_inversion_adapter(
         input_ids = jnp.asarray(tokenizer(prompts))
         feats = (jnp.asarray(batch["clip_cloth_features"])
                  if "clip_cloth_features" in batch else None)
-        images = run(jnp.asarray(batch["image"]),
+        images = run(all_params, jnp.asarray(batch["image"]),
                      jnp.asarray(batch["inpaint_mask"]),
                      jnp.asarray(batch["cloth"]), input_ids, feats,
                      jax.random.fold_in(root_key, step))
