@@ -179,7 +179,8 @@ def main(argv=None):
         start_step = 0
         if args.resume_from_checkpoint:
             try:
-                state = ckpt.restore(state, args.resume_from_checkpoint)
+                state = ckpt.restore_replacing(
+                    state, args.resume_from_checkpoint)
                 start_step = int(state.step)
             except FileNotFoundError:
                 logger.info("no checkpoint found; starting fresh")

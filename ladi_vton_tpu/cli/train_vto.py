@@ -247,7 +247,7 @@ def main(argv=None):
                 which = (args.resume_from_checkpoint
                          if args.resume_from_checkpoint != "latest"
                          else "latest")
-                state = ckpt.restore(state, which)
+                state = ckpt.restore_replacing(state, which)
                 start_step = int(state.step)
                 logger.info(f"resumed from step {start_step}")
             except FileNotFoundError:

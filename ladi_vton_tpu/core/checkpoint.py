@@ -73,6 +73,29 @@ class CheckpointManager:
         path = self.directory / f"checkpoint-{step}"
         return self._ckptr.restore(path, target=state_like)
 
+    def restore_replacing(self, state: Any,
+                          step: int | str = "latest") -> Any:
+        """Restore INTO the memory of ``state``: frees the live device
+        buffers first, then restores against an abstract target — a full
+        train state is ~10GB and a naive restore would hold two copies
+        (HBM-exhausting on a 16GB chip)."""
+        if step == "latest":
+            if self.latest_step() is None:
+                raise FileNotFoundError(
+                    f"no checkpoints under {self.directory}")
+        elif not (self.directory / f"checkpoint-{step}").exists():
+            raise FileNotFoundError(
+                f"no checkpoint-{step} under {self.directory}")
+        import jax
+
+        abstract = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
+            if isinstance(x, jax.Array) else x, state)
+        jax.tree_util.tree_map(
+            lambda x: x.delete() if isinstance(x, jax.Array) else None,
+            state)
+        return self.restore(abstract, step)
+
 
 # --------------------------------------------------------- torch export
 

@@ -138,29 +138,7 @@ def test_tps_and_refinement_export_then_convert_round_trip():
                          jnp.zeros((1, 32, 24, 21)))
 
     # export with reference Sequential-index names, then re-import
-    def tps_key_map(key: str) -> str:
-        import re
-
-        ext_convs = {0: 0, 1: 3, 2: 6, 3: 9, 4: 12, 5: 15}
-        ext_bns = {0: 2, 1: 5, 2: 8, 3: 11, 4: 14}
-        reg_convs = {0: 0, 1: 3, 2: 6, 3: 9}
-        reg_bns = {0: 1, 1: 4, 2: 7, 3: 10}
-        m = re.match(r"(extraction[AB])\.conv\.(\d+)\.(.*)", key)
-        if m:
-            return f"{m.group(1)}.model.{ext_convs[int(m.group(2))]}.{m.group(3)}"
-        m = re.match(r"(extraction[AB])\.bn\.(\d+)\.(.*)", key)
-        if m:
-            return f"{m.group(1)}.model.{ext_bns[int(m.group(2))]}.{m.group(3)}"
-        m = re.match(r"regression\.conv\.(\d+)\.(.*)", key)
-        if m:
-            return f"loc_net.regression.conv.{reg_convs[int(m.group(1))]}.{m.group(2)}"
-        m = re.match(r"regression\.bn\.(\d+)\.(.*)", key)
-        if m:
-            return f"loc_net.regression.conv.{reg_bns[int(m.group(1))]}.{m.group(2)}"
-        if key.startswith("regression.linear"):
-            return key.replace("regression.linear",
-                               "loc_net.regression.linear")
-        return key
+    from ladi_vton_tpu.core.checkpoint import tps_torch_key_map as tps_key_map
 
     state = _fake_state_from_flax(variables, key_map=tps_key_map)
     assert "extractionA.model.0.weight" in state

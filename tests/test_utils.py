@@ -140,3 +140,21 @@ def test_train_loop_runs_and_checkpoints(tmp_path):
     assert final == 7
     assert int(state.step) == 7
     assert mgr.latest_step() == 7  # final save
+
+
+def test_restore_replacing_and_explicit_step_checks(tmp_path):
+    from ladi_vton_tpu.core.checkpoint import CheckpointManager
+    from ladi_vton_tpu.train.steps import TrainState, make_optimizer
+
+    state = TrainState.create({"w": jnp.ones((4,))}, make_optimizer(1e-3))
+    mgr = CheckpointManager(tmp_path / "ck", keep=2)
+    with pytest.raises(FileNotFoundError):
+        mgr.restore_replacing(state, "latest")
+    with pytest.raises(FileNotFoundError):
+        mgr.restore_replacing(state, 123)
+    # state untouched by the failed restore attempts
+    np.testing.assert_allclose(np.asarray(state.params["w"]), 1.0)
+
+    mgr.save(5, state.replace(step=jnp.asarray(5)))
+    restored = mgr.restore_replacing(state, "latest")
+    assert int(restored.step) == 5
