@@ -57,6 +57,7 @@ def parse_args(argv=None):
     p.add_argument("--sd2_model_dir", type=str, required=False)
     p.add_argument("--vgg_weights", type=str, default=None,
                    help="torchvision vgg19 .pth for the perceptual loss")
+    p.add_argument("--caption_file", type=str, default=None)
     return p.parse_args(argv)
 
 
