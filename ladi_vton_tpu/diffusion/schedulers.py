@@ -263,3 +263,83 @@ class PNDMScheduler:
             "counter": counter + 1,
         }
         return new_state, prev
+
+
+class LMSDiscreteScheduler:
+    """Linear multistep (k-LMS) sampler in sigma space.
+
+    Completes the reference pipeline's scheduler union
+    (DDIM | PNDM | LMS, reference tryon_pipe.py imports).  Timesteps are
+    static per plan, so the LMS integration coefficients are precomputed
+    on host at ``set_timesteps`` — the device step is a pure linear
+    combination of the epsilon history (scan/jit friendly).
+    """
+
+    def __init__(self, config: SchedulerConfig = SchedulerConfig(),
+                 order: int = 4):
+        self.config = config
+        self.order = order
+        acp = _make_alphas_cumprod(config).astype(np.float64)
+        self._sigmas_all = np.sqrt((1 - acp) / acp)
+
+    def set_timesteps(self, num_inference_steps: int) -> jax.Array:
+        T = self.config.num_train_timesteps
+        # diffusers LMS spacing: linspace over [0, T-1], descending
+        ts = np.linspace(0, T - 1, num_inference_steps,
+                         dtype=np.float64)[::-1].copy()
+        low = np.floor(ts).astype(int)
+        high = np.ceil(ts).astype(int)
+        frac = ts - low
+        sigmas = ((1 - frac) * self._sigmas_all[low]
+                  + frac * self._sigmas_all[high])
+        self.sigmas = np.concatenate([sigmas, [0.0]])
+        self.num_inference_steps = num_inference_steps
+        self.init_noise_sigma = float(np.sqrt(sigmas[0] ** 2 + 1))
+        # precompute LMS coefficients for every (step, history) pair
+        coeffs = np.zeros((num_inference_steps, self.order))
+        for step in range(num_inference_steps):
+            order = min(step + 1, self.order)
+            for j in range(order):
+                coeffs[step, j] = self._lms_coeff(step, j, order)
+        self._coeffs = jnp.asarray(coeffs, jnp.float32)
+        self._sigmas_j = jnp.asarray(self.sigmas, jnp.float32)
+        return jnp.asarray(np.round(ts).astype(np.int64))
+
+    def _lms_coeff(self, t: int, j: int, order: int) -> float:
+        import scipy.integrate
+
+        sig = self.sigmas
+
+        def fn(tau):
+            prod = 1.0
+            for k in range(order):
+                if k == j:
+                    continue
+                prod *= (tau - sig[t - k]) / (sig[t - j] - sig[t - k])
+            return prod
+
+        return scipy.integrate.quad(fn, sig[t], sig[t + 1],
+                                    epsrel=1e-4)[0]
+
+    def scale_model_input(self, sample, step_index):
+        sigma = self._sigmas_j[step_index]
+        return sample / jnp.sqrt(sigma**2 + 1)
+
+    def init_state(self, latents_shape):
+        return jnp.zeros((self.order,) + tuple(latents_shape), jnp.float32)
+
+    def step(self, derivs, model_output, step_index, sample):
+        """(eps-history, eps, i, x_sigma) -> (new history, prev sample).
+
+        ``sample`` lives in sigma space (x = x0 + sigma * eps-ish);
+        model_output is the epsilon prediction at the *scaled* input.
+        """
+        sigma = self._sigmas_j[step_index]
+        x0 = sample.astype(jnp.float32) - sigma * model_output.astype(
+            jnp.float32)
+        d = (sample.astype(jnp.float32) - x0) / sigma
+        derivs = jnp.concatenate([d[None], derivs[:-1]])
+        coeffs = self._coeffs[step_index]  # (order,)
+        update = jnp.tensordot(coeffs, derivs, axes=1)
+        return derivs, (sample.astype(jnp.float32) + update).astype(
+            sample.dtype)

@@ -132,3 +132,26 @@ def test_pndm_plan_and_convergence():
     assert np.isfinite(np.asarray(x)).all()
     ratio = float(jnp.abs(x).mean() / (jnp.abs(x_ddim).mean() + 1e-8))
     assert 0.1 < ratio < 10.0
+
+
+def test_lms_scheduler_contracts_linear_model():
+    from ladi_vton_tpu.diffusion.schedulers import LMSDiscreteScheduler
+
+    sched = LMSDiscreteScheduler()
+    ts = sched.set_timesteps(10)
+    assert len(ts) == 10
+    assert sched.init_noise_sigma > 1.0
+    # coefficients for each step integrate to the sigma interval length
+    coeffs = np.asarray(sched._coeffs)
+    dsig = np.diff(sched.sigmas)
+    np.testing.assert_allclose(coeffs.sum(1), dsig[:10], rtol=1e-3)
+
+    # sample with eps(x) = x0-free pure-noise model: x should shrink
+    x = jnp.ones((1, 4)) * sched.init_noise_sigma
+    derivs = sched.init_state(x.shape)
+    for i in range(10):
+        scaled = sched.scale_model_input(x, i)
+        eps = scaled  # toy model
+        derivs, x = sched.step(derivs, eps, i, x)
+    assert np.isfinite(np.asarray(x)).all()
+    assert np.abs(np.asarray(x)).max() < sched.init_noise_sigma
