@@ -61,30 +61,30 @@ class TimestepEmbedding(nn.Module):
 
 
 class GroupNorm(nn.Module):
-    """GroupNorm over the channel (last) axis, stats in fp32."""
+    """GroupNorm over the channel (last) axis, stats in fp32.
+
+    ``act="silu"`` fuses the activation that always follows the norm on
+    the resnet path — on TPU the pair runs as one Pallas kernel
+    (``ops.group_norm``), guaranteeing two HBM passes instead of
+    whatever XLA decides; the XLA oracle is the CPU/test path.
+    """
 
     num_groups: int = 32
     epsilon: float = 1e-5
+    act: str = "none"
+    impl: str = "auto"
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        orig_dtype = x.dtype
         C = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (C,), self.param_dtype)
         bias = self.param("bias", nn.initializers.zeros, (C,), self.param_dtype)
-        xf = x.astype(jnp.float32)
-        spatial = tuple(range(1, x.ndim - 1))
-        grouped = xf.reshape(x.shape[0], *x.shape[1:-1], self.num_groups,
-                             C // self.num_groups)
-        axes = spatial + (x.ndim,)  # spatial dims + within-group channels
-        mean = grouped.mean(axis=axes, keepdims=True)
-        var = grouped.var(axis=axes, keepdims=True)
-        normed = (grouped - mean) * jax.lax.rsqrt(var + self.epsilon)
-        normed = normed.reshape(x.shape)
-        out = normed * scale.astype(jnp.float32) + bias.astype(jnp.float32)
-        return out.astype(orig_dtype)
+        from ladi_vton_tpu.ops.group_norm import group_norm
+
+        return group_norm(x, scale, bias, num_groups=self.num_groups,
+                          eps=self.epsilon, act=self.act, impl=self.impl)
 
 
 class Conv2d(nn.Module):
@@ -128,9 +128,8 @@ class ResnetBlock2D(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, temb: Optional[jax.Array] = None) -> jax.Array:
         in_channels = x.shape[-1]
-        h = GroupNorm(self.groups, self.eps, dtype=self.dtype,
+        h = GroupNorm(self.groups, self.eps, act="silu", dtype=self.dtype,
                       param_dtype=self.param_dtype, name="norm1")(x)
-        h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
                     dtype=self.dtype, param_dtype=self.param_dtype,
                     name="conv1")(h)
@@ -139,9 +138,8 @@ class ResnetBlock2D(nn.Module):
                                  param_dtype=self.param_dtype,
                                  name="time_emb_proj")(nn.silu(temb))
             h = h + temb_proj[:, None, None, :]
-        h = GroupNorm(self.groups, self.eps, dtype=self.dtype,
+        h = GroupNorm(self.groups, self.eps, act="silu", dtype=self.dtype,
                       param_dtype=self.param_dtype, name="norm2")(h)
-        h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
                     dtype=self.dtype, param_dtype=self.param_dtype,
                     name="conv2")(h)

@@ -250,9 +250,8 @@ class UNet2DCondition(nn.Module):
                 name=f"up_blocks_{i}",
             )(h, skips, temb, context)
 
-        h = GroupNorm(32, cfg.norm_eps, dtype=self.dtype,
+        h = GroupNorm(32, cfg.norm_eps, act="silu", dtype=self.dtype,
                       param_dtype=self.param_dtype, name="conv_norm_out")(h)
-        h = nn.silu(h)
         h = nn.Conv(cfg.out_channels, (3, 3), padding=((1, 1), (1, 1)),
                     dtype=self.dtype, param_dtype=self.param_dtype,
                     name="conv_out")(h)

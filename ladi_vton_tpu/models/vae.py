@@ -134,9 +134,8 @@ class Encoder(nn.Module):
                                  name=f"down_blocks_{i}")(h)
         h = MidBlock(cfg.block_out_channels[-1], dtype=self.dtype,
                      param_dtype=self.param_dtype, name="mid_block")(h)
-        h = GroupNorm(cfg.norm_num_groups, 1e-6, dtype=self.dtype,
+        h = GroupNorm(cfg.norm_num_groups, 1e-6, act="silu", dtype=self.dtype,
                       param_dtype=self.param_dtype, name="conv_norm_out")(h)
-        h = nn.silu(h)
         h = nn.Conv(2 * cfg.latent_channels, (3, 3), padding=((1, 1), (1, 1)),
                     dtype=self.dtype, param_dtype=self.param_dtype,
                     name="conv_out")(h)
@@ -184,9 +183,8 @@ class Decoder(nn.Module):
                                param_dtype=self.param_dtype,
                                name=f"up_blocks_{i}")(h)
 
-        h = GroupNorm(cfg.norm_num_groups, 1e-6, dtype=self.dtype,
+        h = GroupNorm(cfg.norm_num_groups, 1e-6, act="silu", dtype=self.dtype,
                       param_dtype=self.param_dtype, name="conv_norm_out")(h)
-        h = nn.silu(h)
         if feats_rev is not None and int_layers and 1 in int_layers:
             idx = len(int_layers) - 1 - list(int_layers).index(1)
             h = h + feats_rev[idx].astype(h.dtype)

@@ -14,9 +14,13 @@ Two kernels over an NHWC tensor reshaped to (B, HW, C):
 * apply: grid (B, row-tiles); normalizes with per-group mean/rstd
   (expanded to channels host-side — tiny), applies affine + SiLU.
 
-Channel counts in the VAE/UNet are multiples of 128 (lane width), rows
-tile at 512.  The XLA fallback (`group_norm_silu_xla`) is the numerics
-oracle and the CPU path; `group_norm_silu` dispatches.
+Channel counts in the VAE/UNet are 128..1280 (lanes hold channels; 320
+is fine — Mosaic masks the padded lanes and stats stay exact because
+they accumulate per-channel), rows tile at 512.  The XLA fallback
+(`group_norm_xla`) is the numerics oracle and the CPU path;
+`group_norm` dispatches and is differentiable (custom_vjp recomputes
+the backward through the oracle).  The towers consume this through
+``models.layers.GroupNorm(act=...)``.
 """
 
 from __future__ import annotations
@@ -29,8 +33,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def group_norm_silu_xla(x, scale, bias, *, num_groups=32, eps=1e-6):
-    """Reference implementation (matches models.layers.GroupNorm+silu)."""
+def group_norm_xla(x, scale, bias, *, num_groups=32, eps=1e-6, act="silu"):
+    """Reference implementation (matches models.layers GroupNorm [+silu])."""
     B = x.shape[0]
     C = x.shape[-1]
     orig_shape = x.shape
@@ -40,8 +44,15 @@ def group_norm_silu_xla(x, scale, bias, *, num_groups=32, eps=1e-6):
     normed = (xf - mean) * jax.lax.rsqrt(var + eps)
     out = normed.reshape(B, -1, C) * scale.astype(jnp.float32) \
         + bias.astype(jnp.float32)
-    out = out * jax.nn.sigmoid(out)
+    if act == "silu":
+        out = out * jax.nn.sigmoid(out)
     return out.reshape(orig_shape).astype(x.dtype)
+
+
+def group_norm_silu_xla(x, scale, bias, *, num_groups=32, eps=1e-6):
+    """Back-compat alias: fused GN+SiLU oracle."""
+    return group_norm_xla(x, scale, bias, num_groups=num_groups, eps=eps,
+                          act="silu")
 
 
 def _stats_kernel(x_ref, out_ref):
@@ -61,18 +72,25 @@ def _stats_kernel(x_ref, out_ref):
         out_ref[0, 1:2, :] = out_ref[0, 1:2, :] + sq
 
 
-def _apply_kernel(x_ref, mean_ref, rstd_ref, scale_ref, bias_ref, out_ref):
+def _apply_kernel(x_ref, mean_ref, rstd_ref, scale_ref, bias_ref, out_ref,
+                  *, act: str):
     x = x_ref[0].astype(jnp.float32)  # (T, C)
     mean = mean_ref[0]  # (1, C)
     rstd = rstd_ref[0]
     out = (x - mean) * rstd * scale_ref[0] + bias_ref[0]
-    out = out * jax.nn.sigmoid(out)
+    if act == "silu":
+        out = out * jax.nn.sigmoid(out)
     out_ref[0] = out.astype(out_ref.dtype)
 
 
-def group_norm_silu_pallas(x, scale, bias, *, num_groups=32, eps=1e-6,
-                           row_tile=512, interpret=False):
-    """Fused GN+SiLU for NHWC (or (B, N, C)) inputs, C % 128 == 0."""
+def group_norm_pallas(x, scale, bias, *, num_groups=32, eps=1e-6,
+                      act="silu", row_tile=512, interpret=False):
+    """Fused GN[+SiLU] for NHWC (or (B, N, C)) inputs.
+
+    Lanes hold channels; C need not be a multiple of 128 (Mosaic masks
+    the padded lanes) but stats are exact because they are accumulated
+    per-channel and combined per-group outside the kernel.
+    """
     orig_shape = x.shape
     B, C = x.shape[0], x.shape[-1]
     xr = x.reshape(B, -1, C)
@@ -82,8 +100,8 @@ def group_norm_silu_pallas(x, scale, bias, *, num_groups=32, eps=1e-6,
         # pad rows so tiles are uniform; padded rows are excluded from
         # stats by correcting the count below only if padding is zero —
         # instead just fall back to XLA for ragged shapes
-        return group_norm_silu_xla(x, scale, bias, num_groups=num_groups,
-                                   eps=eps)
+        return group_norm_xla(x, scale, bias, num_groups=num_groups,
+                              eps=eps, act=act)
     tiles = N // T
 
     stats = pl.pallas_call(
@@ -108,7 +126,7 @@ def group_norm_silu_pallas(x, scale, bias, *, num_groups=32, eps=1e-6,
     rstd_c = jnp.repeat(g_rstd, cg, axis=1)[:, None, :]
 
     out = pl.pallas_call(
-        _apply_kernel,
+        functools.partial(_apply_kernel, act=act),
         out_shape=jax.ShapeDtypeStruct(xr.shape, x.dtype),
         grid=(B, tiles),
         in_specs=[
@@ -132,21 +150,66 @@ def group_norm_silu_pallas(x, scale, bias, *, num_groups=32, eps=1e-6,
     return out.reshape(orig_shape)
 
 
-def group_norm_silu(x, scale, bias, *, num_groups=32, eps=1e-6,
-                    impl="auto"):
-    """Dispatch: Pallas on TPU when shapes are kernel-friendly."""
+def group_norm_silu_pallas(x, scale, bias, *, num_groups=32, eps=1e-6,
+                           row_tile=512, interpret=False):
+    """Back-compat alias: fused GN+SiLU kernel."""
+    return group_norm_pallas(x, scale, bias, num_groups=num_groups, eps=eps,
+                             act="silu", row_tile=row_tile,
+                             interpret=interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _gn_pallas_diff(x, scale, bias, num_groups, eps, act, interpret):
+    """Differentiable wrapper: Pallas forward, XLA-recompute backward."""
+    return group_norm_pallas(x, scale, bias, num_groups=num_groups, eps=eps,
+                             act=act, interpret=interpret)
+
+
+def _gn_pallas_fwd(x, scale, bias, num_groups, eps, act, interpret):
+    out = group_norm_pallas(x, scale, bias, num_groups=num_groups, eps=eps,
+                            act=act, interpret=interpret)
+    return out, (x, scale, bias)
+
+
+def _gn_pallas_bwd(num_groups, eps, act, interpret, res, g):
+    x, scale, bias = res
+    _, vjp = jax.vjp(
+        lambda x_, s_, b_: group_norm_xla(x_, s_, b_, num_groups=num_groups,
+                                          eps=eps, act=act),
+        x, scale, bias)
+    return vjp(g)
+
+
+_gn_pallas_diff.defvjp(_gn_pallas_fwd, _gn_pallas_bwd)
+
+
+def group_norm(x, scale, bias, *, num_groups=32, eps=1e-6, act="none",
+               impl="auto"):
+    """Dispatch: Pallas on TPU when shapes are kernel-friendly.
+
+    The kernel needs C large enough that lanes aren't mostly padding and
+    uniform row tiles; everything else (CPU, tiny test towers, ragged
+    spatial extents) takes the XLA oracle, which is numerically the
+    definition of this op.
+    """
     if impl == "xla":
-        return group_norm_silu_xla(x, scale, bias, num_groups=num_groups,
-                                   eps=eps)
+        return group_norm_xla(x, scale, bias, num_groups=num_groups,
+                              eps=eps, act=act)
     on_tpu = any(d.platform == "tpu" for d in jax.devices())
     C = x.shape[-1]
-    if (impl == "pallas" or on_tpu) and C % 128 == 0:
+    if (impl == "pallas" or on_tpu) and C >= 128 and C % num_groups == 0:
         try:
-            return group_norm_silu_pallas(
-                x, scale, bias, num_groups=num_groups, eps=eps,
-                interpret=not on_tpu)
+            return _gn_pallas_diff(x, scale, bias, num_groups, eps, act,
+                                   not on_tpu)
         except Exception:
             if impl == "pallas":
                 raise
-    return group_norm_silu_xla(x, scale, bias, num_groups=num_groups,
-                               eps=eps)
+    return group_norm_xla(x, scale, bias, num_groups=num_groups, eps=eps,
+                          act=act)
+
+
+def group_norm_silu(x, scale, bias, *, num_groups=32, eps=1e-6,
+                    impl="auto"):
+    """Back-compat alias: fused GN+SiLU dispatch."""
+    return group_norm(x, scale, bias, num_groups=num_groups, eps=eps,
+                      act="silu", impl=impl)
