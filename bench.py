@@ -79,6 +79,12 @@ def main():
             jnp.zeros((1, 8, 8, c), dtype) for c in emasc_in
         ]),
     }
+    if on_tpu:
+        # inference runs pure bf16: params in bf16 halve the weight HBM
+        # traffic per UNet call (0.9B params x 50 steps dominates reads)
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, params)
 
     sampler = pipe.jit_sample(split=True, num_inference_steps=steps,
                               guidance_scale=7.5)
@@ -112,12 +118,59 @@ def main():
     dt = (time.perf_counter() - t0) / n_iters
     img_per_sec = B / dt
 
+    if on_tpu:
+        _report_stages(pipe, params, args, B, dt)
+
     print(json.dumps({
         "metric": "vitonhd_512x384_ddim50_images_per_sec_per_chip",
         "value": round(img_per_sec, 4),
         "unit": "images/sec",
         "vs_baseline": round(img_per_sec / REF_A100_IMG_PER_SEC, 4),
     }))
+
+
+def _report_stages(pipe, params, args, B, total_dt):
+    """Per-stage timing + FLOPs-based MFU, to stderr (the driver parses
+    stdout for the single JSON line)."""
+    import sys
+
+    import numpy as np
+
+    def timeit(fn, iters=2):
+        out = fn()
+        np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn()
+        np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+        return (time.perf_counter() - t0) / iters
+
+    prep = jax.jit(pipe.prepare)
+    den = jax.jit(lambda p, pr, e, ne: pipe.denoise(
+        p, pr, prompt_embeds=e, negative_prompt_embeds=ne,
+        num_inference_steps=50, guidance_scale=7.5))
+    dec = jax.jit(pipe.decode)
+    prepared = prep(params, image=args["image"],
+                    mask_image=args["mask_image"],
+                    pose_map=args["pose_map"],
+                    warped_cloth=args["warped_cloth"], rng=args["rng"])
+    intermediate = prepared.pop("intermediate")
+    e = args["prompt_embeds"]
+    t_prep = timeit(lambda: prep(
+        params, image=args["image"], mask_image=args["mask_image"],
+        pose_map=args["pose_map"], warped_cloth=args["warped_cloth"],
+        rng=args["rng"]))
+    latents = den(params, prepared, e, e)
+    t_den = timeit(lambda: den(params, prepared, e, e))
+    t_dec = timeit(lambda: dec(params, latents, intermediate))
+    # analytic UNet FLOPs: ~0.575 TF per image-forward at 64x48 latents
+    # (full conv/attn/ff accounting, docs/STATUS.md), CFG doubles it
+    unet_flops = 0.575e12 * (2 * B) * 50
+    mfu = unet_flops / t_den / 197e12
+    print(f"stages(B={B}): prep {t_prep*1e3:.0f} ms | denoise(50) "
+          f"{t_den*1e3:.0f} ms ({t_den*20:.1f} ms/step, "
+          f"denoise-MFU {mfu*100:.1f}%) | decode {t_dec*1e3:.0f} ms | "
+          f"e2e {total_dt*1e3:.0f} ms", file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":

@@ -163,7 +163,16 @@ def main(argv=None):
     else:
         dataset = build_dataset(args, "test", args.test_order,
                                 tuple(outputlist))
-    loader = BatchLoader(dataset, args.batch_size,
+    # batch generation is data-parallel over the device mesh (the
+    # reference's accelerator.prepare DDP eval, src/eval.py:317): the
+    # batch size rounds up to a multiple of the data-axis size and
+    # pad_last keeps every batch full.
+    from ladi_vton_tpu.core.mesh import MeshSpec, make_mesh
+
+    mesh = make_mesh(MeshSpec())
+    n_data = mesh.shape["data"]
+    batch_size = -(-args.batch_size // n_data) * n_data
+    loader = BatchLoader(dataset, batch_size,
                          num_workers=args.num_workers, pad_last=True)
 
     save_dir = os.path.join(args.output_dir, args.save_name,
@@ -175,7 +184,7 @@ def main(argv=None):
         text_usage=args.text_usage, num_vstar=args.num_vstar,
         seed=args.seed, num_inference_steps=args.num_inference_steps,
         guidance_scale=args.guidance_scale, use_png=args.use_png,
-        cloth_input_type=args.cloth_input_type)
+        cloth_input_type=args.cloth_input_type, mesh=mesh)
 
     if args.compute_metrics:
         from ladi_vton_tpu.metrics.compute import compute_metrics

@@ -126,6 +126,18 @@ def main(argv=None):
                          scheduler=DDIMScheduler())
     params = {"unet": unet_vars, "vae": vae_vars, "emasc": emasc_vars}
 
+    # data-parallel batch inference over the device mesh (the
+    # reference's accelerator.prepare DDP eval, src/inference.py:223):
+    # weights replicated, batches sharded over the ``data`` axis
+    from ladi_vton_tpu.core.mesh import MeshSpec, make_mesh
+    from ladi_vton_tpu.parallel.sharding import eval_placement
+
+    mesh = make_mesh(MeshSpec())
+    n_data = mesh.shape["data"]
+    args.batch_size = -(-args.batch_size // n_data) * n_data
+    put_repl, put_data = eval_placement(mesh)
+    params = put_repl(params)
+
     # --- dataset
     categories = ([args.category] if args.category != "all"
                   else ["dresses", "upper_body", "lower_body"])
@@ -151,9 +163,9 @@ def main(argv=None):
     # no single XLA program becomes prohibitively large; the weight trees
     # travel as ARGUMENTS — closing over them would bake gigabytes of
     # constants into the program
-    cond_params = {"tps": tps_vars, "ref": ref_vars,
-                   "vision": vision_vars, "adapter": adapter_vars,
-                   "text": text_vars}
+    cond_params = put_repl({"tps": tps_vars, "ref": ref_vars,
+                            "vision": vision_vars, "adapter": adapter_vars,
+                            "text": text_vars})
 
     @jax.jit
     def condition(cp, pose_map, cloth, im_mask, input_ids):
@@ -219,19 +231,21 @@ def main(argv=None):
         ]
         input_ids = jnp.asarray(tokenizer(prompts))
         rng = jax.random.fold_in(root_key, step)
+        arrays = put_data({
+            k: jnp.asarray(batch[k])
+            for k in ("image", "inpaint_mask", "pose_map", "cloth",
+                      "im_mask")
+        })
         images = generate(
-            jnp.asarray(batch["image"]),
-            jnp.asarray(batch["inpaint_mask"]),
-            jnp.asarray(batch["pose_map"]),
-            jnp.asarray(batch["cloth"]),
-            jnp.asarray(batch["im_mask"]),
-            input_ids, rng)
+            arrays["image"], arrays["inpaint_mask"], arrays["pose_map"],
+            arrays["cloth"], arrays["im_mask"],
+            put_data(input_ids), rng)
         images = np.asarray(images)
         for img, cat, name in zip(images, batch["category"],
                                   batch["im_name"]):
-            if name in seen:  # padded duplicate from the last batch
+            if (cat, name) in seen:  # padded duplicate from the last batch
                 continue
-            seen.add(name)
+            seen.add((cat, name))
             cat_dir = os.path.join(save_dir, cat)
             os.makedirs(cat_dir, exist_ok=True)
             pil = Image.fromarray((img * 255).round().astype(np.uint8))

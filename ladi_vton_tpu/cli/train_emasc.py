@@ -159,6 +159,43 @@ def main(argv=None):
                 {"params": jax.device_get(
                     state.params["emasc"])["params"]},
                 Path(args.output_dir) / f"emasc_{step}.pth")
+            # VAE+EMASC reconstruction dumps + metric eval at checkpoint
+            # boundaries (reference train_emasc.py:430-473); best-effort
+            try:
+                _run_validation(step, state)
+            except Exception as e:  # noqa: BLE001
+                logger.info(f"validation at step {step} skipped: {e}")
+
+        def _run_validation(step, state):
+            from ladi_vton_tpu.pipelines.drivers import (
+                extract_save_vae_images,
+            )
+
+            test_dataset = build_dataset(
+                args, "test", args.test_order,
+                ("image", "im_mask", "inpaint_mask", "im_name",
+                 "category"))
+            test_loader = BatchLoader(test_dataset, args.test_batch_size,
+                                      num_workers=args.num_workers_test,
+                                      pad_last=True)
+            save_dir = str(Path(args.output_dir)
+                           / f"imgs_step_{step}" / args.test_order)
+            extract_save_vae_images(
+                vae, vae_vars, emasc,
+                jax.device_get(state.params["emasc"]), test_loader,
+                save_dir, seed=args.seed)
+            try:
+                from ladi_vton_tpu.metrics.compute import compute_metrics
+
+                metrics = compute_metrics(
+                    save_dir, args.test_order, args.dataset, "all",
+                    ["all"], args.dresscode_dataroot,
+                    args.vitonhd_dataroot)
+                trackers.log({f"val/{k}": v for k, v in metrics.items()},
+                             step)
+                logger.info(f"validation metrics at {step}: {metrics}")
+            except FileNotFoundError as e:
+                logger.info(f"metric weights unavailable: {e}")
 
         def emasc_jitted(state, frozen, batch, rng):
             return jitted(state, frozen, batch, rng)

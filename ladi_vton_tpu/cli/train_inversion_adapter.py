@@ -211,6 +211,48 @@ def main(argv=None):
                 {"params": jax.device_get(
                     state.params["adapter"])["params"]},
                 Path(args.output_dir) / f"inversion_adapter_{step}.pth")
+            # adapter validation through the PLAIN SD inpaint pipeline +
+            # metrics (reference train_inversion_adapter.py:546-572,
+            # image_from_pipe.py:139-218); best-effort
+            try:
+                _run_validation(step, state)
+            except Exception as e:  # noqa: BLE001
+                logger.info(f"validation at step {step} skipped: {e}")
+
+        def _run_validation(step, state):
+            from ladi_vton_tpu.diffusion.schedulers import DDIMScheduler
+            from ladi_vton_tpu.pipelines.inpaint import (
+                InpaintPipeline,
+                generate_images_inversion_adapter,
+            )
+
+            test_dataset = build_dataset(args, "test", args.test_order,
+                                         tuple(outputlist))
+            test_loader = BatchLoader(test_dataset, args.test_batch_size,
+                                      num_workers=args.num_workers_test,
+                                      pad_last=True)
+            pipe = InpaintPipeline(unet=unet9, vae=vae,
+                                   scheduler=DDIMScheduler())
+            save_dir = str(Path(args.output_dir)
+                           / f"imgs_step_{step}" / args.test_order)
+            generate_images_inversion_adapter(
+                pipe, {"unet": unet9_vars, "vae": vae_vars},
+                text_model, text_vars, tokenizer, adapter,
+                jax.device_get(state.params["adapter"]),
+                vision, vision_vars, test_loader, save_dir,
+                num_vstar=args.num_vstar, seed=args.seed)
+            try:
+                from ladi_vton_tpu.metrics.compute import compute_metrics
+
+                metrics = compute_metrics(
+                    save_dir, args.test_order, args.dataset, "all",
+                    ["all"], args.dresscode_dataroot,
+                    args.vitonhd_dataroot)
+                trackers.log({f"val/{k}": v for k, v in metrics.items()},
+                             step)
+                logger.info(f"validation metrics at {step}: {metrics}")
+            except FileNotFoundError as e:
+                logger.info(f"metric weights unavailable: {e}")
 
         state, final_step = train_loop(
             state=state, frozen=frozen, loader=_forever(loader),

@@ -1,12 +1,17 @@
-"""Threaded batch loader with device prefetch.
+"""Batch loader with thread or process workers and device prefetch.
 
 The reference feeds models with torch DataLoader worker processes
 (reference: src/inference.py:178-183, src/train_vto.py:400-432).  On
 TPU the input pipeline's job is to keep the jitted step from ever
-waiting on the host: a thread pool maps ``dataset[i]`` (PIL/numpy CPU
-work), batches are collated to numpy, and up to ``prefetch`` batches are
+waiting on the host: workers map ``dataset[i]`` (PIL/numpy CPU work),
+batches are collated to numpy, and up to ``prefetch`` batches are
 staged ahead; callers combine this with ``core.mesh.shard_batch`` for
 sharded device puts.
+
+``workers_mode="process"`` forks a pool like torch's DataLoader — the
+escape hatch when per-item preprocessing is Python/PIL-heavy and the
+GIL would serialize threads (the C++ native fast paths in
+``data.native`` release the GIL, so threads are the cheaper default).
 """
 
 from __future__ import annotations
@@ -17,6 +22,19 @@ from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, Optional, Sequence
 
 import numpy as np
+
+# process-pool plumbing: the dataset is shipped once per worker via the
+# initializer (fork), not re-pickled per __getitem__ call
+_worker_dataset = None
+
+
+def _init_worker(dataset):
+    global _worker_dataset
+    _worker_dataset = dataset
+
+
+def _worker_getitem(i: int):
+    return _worker_dataset[i]
 
 
 def collate(items: Sequence[dict]) -> dict:
@@ -45,7 +63,9 @@ class BatchLoader:
         prefetch: int = 2,
         seed: int = 0,
         pad_last: bool = False,
+        workers_mode: str = "thread",
     ):
+        assert workers_mode in ("thread", "process")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -54,6 +74,7 @@ class BatchLoader:
         self.prefetch = prefetch
         self.seed = seed
         self.pad_last = pad_last
+        self.workers_mode = workers_mode
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -86,10 +107,21 @@ class BatchLoader:
         stop = object()
 
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for idx in batches:
-                    items = list(pool.map(self.dataset.__getitem__, idx))
-                    q.put(collate(items))
+            if self.workers_mode == "process":
+                import multiprocessing as mp
+
+                ctx = mp.get_context("fork")
+                with ctx.Pool(self.num_workers, initializer=_init_worker,
+                              initargs=(self.dataset,)) as pool:
+                    for idx in batches:
+                        items = pool.map(_worker_getitem, idx)
+                        q.put(collate(items))
+            else:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for idx in batches:
+                        items = list(pool.map(self.dataset.__getitem__,
+                                              idx))
+                        q.put(collate(items))
             q.put(stop)
 
         t = threading.Thread(target=produce, daemon=True)

@@ -110,6 +110,20 @@ class DDIMScheduler:
     def scale_model_input(self, sample: jax.Array, t: jax.Array) -> jax.Array:
         return sample  # DDIM does not scale
 
+    # ---- uniform loop protocol (shared by DDIM/PNDM/LMS so the try-on
+    # pipeline's scan can carry any scheduler's state; reference
+    # tryon_pipe.py accepts the DDIM|PNDM|LMS union) ----
+
+    def init_loop_state(self, latents: jax.Array):
+        return ()
+
+    def scale_input(self, sample: jax.Array, step_index: jax.Array,
+                    t: jax.Array) -> jax.Array:
+        return sample
+
+    def loop_step(self, state, model_output, step_index, t, sample):
+        return (), self.step(model_output, t, sample)
+
     def step(
         self,
         model_output: jax.Array,
@@ -264,6 +278,17 @@ class PNDMScheduler:
         }
         return new_state, prev
 
+    # ---- uniform loop protocol ----
+
+    def init_loop_state(self, latents: jax.Array):
+        return self.init_state(latents.shape, latents.dtype)
+
+    def scale_input(self, sample, step_index, t):
+        return sample
+
+    def loop_step(self, state, model_output, step_index, t, sample):
+        return self.step(state, model_output, t, sample)
+
 
 class LMSDiscreteScheduler:
     """Linear multistep (k-LMS) sampler in sigma space.
@@ -281,6 +306,10 @@ class LMSDiscreteScheduler:
         self.order = order
         acp = _make_alphas_cumprod(config).astype(np.float64)
         self._sigmas_all = np.sqrt((1 - acp) / acp)
+        # plan-independent: the linspace plan always starts at t = T-1,
+        # so sigma_max (and hence the N(0,1)->x_T scale) is fixed
+        self.init_noise_sigma = float(
+            np.sqrt(self._sigmas_all[-1] ** 2 + 1))
 
     def set_timesteps(self, num_inference_steps: int) -> jax.Array:
         T = self.config.num_train_timesteps
@@ -343,3 +372,14 @@ class LMSDiscreteScheduler:
         update = jnp.tensordot(coeffs, derivs, axes=1)
         return derivs, (sample.astype(jnp.float32) + update).astype(
             sample.dtype)
+
+    # ---- uniform loop protocol ----
+
+    def init_loop_state(self, latents: jax.Array):
+        return self.init_state(latents.shape)
+
+    def scale_input(self, sample, step_index, t):
+        return self.scale_model_input(sample, step_index)
+
+    def loop_step(self, state, model_output, step_index, t, sample):
+        return self.step(state, model_output, step_index, sample)

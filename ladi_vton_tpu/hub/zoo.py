@@ -64,6 +64,64 @@ def _resolve_checkpoint(name: str, dataset: str,
     return str(target)
 
 
+def _converted_cache_dir() -> Path:
+    d = Path(os.environ.get(
+        "LADI_VTON_CACHE",
+        Path.home() / ".cache" / "ladi_vton_tpu")) / "converted"
+    d.mkdir(parents=True, exist_ok=True)
+    return d
+
+
+def _flatten_tree(tree: dict, prefix: str = "") -> dict:
+    out = {}
+    for k, v in tree.items():
+        kk = f"{prefix}/{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            out.update(_flatten_tree(v, kk))
+        else:
+            out[kk] = np.asarray(v)
+    return out
+
+
+def _unflatten_tree(flat: dict) -> dict:
+    tree: dict = {}
+    for k, v in flat.items():
+        parts = k.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
+def _cached_convert(src_path, tag: str, fn):
+    """torch->flax conversion memoized on disk.
+
+    The conversion (load + transpose every tensor) runs once per
+    (source mtime, size); later launches load a single ``.npz`` —
+    this cuts CLI startup from minutes to seconds on re-runs
+    (cache key includes the source stats, so retrained checkpoints
+    reconvert automatically).  Set LADI_VTON_NO_CONVERT_CACHE=1 to
+    bypass.
+    """
+    if os.environ.get("LADI_VTON_NO_CONVERT_CACHE"):
+        return fn()
+    try:
+        st = Path(src_path).stat()
+        key = f"{tag}-{st.st_mtime_ns}-{st.st_size}"
+    except OSError:
+        return fn()
+    target = _converted_cache_dir() / f"{key}.npz"
+    if target.exists():
+        with np.load(target) as z:
+            return _unflatten_tree({k: z[k] for k in z.files})
+    tree = fn()
+    tmp = target.with_name(target.name + ".tmp.npz")
+    np.savez(tmp, **_flatten_tree(tree))
+    tmp.replace(target)  # atomic publish
+    return tree
+
+
 def _to_jax(variables: dict, dtype=None) -> dict:
     def cast(x):
         arr = jnp.asarray(x)
@@ -82,8 +140,10 @@ def extended_unet(dataset: str = "vitonhd", *, checkpoint=None,
     unet = UNet2DCondition(sd2_unet_config(31), dtype=dtype,
                            param_dtype=param_dtype)
     path = _resolve_checkpoint("unet", dataset, checkpoint, checkpoint_dir)
-    variables = C.convert_unet(C.load_torch_state(path))
-    variables = C.widen_conv_in(variables, 31)
+    variables = _cached_convert(
+        path, "unet31",
+        lambda: C.widen_conv_in(C.convert_unet(C.load_torch_state(path)),
+                                31))
     return unet, _to_jax(variables, param_dtype)
 
 
@@ -93,7 +153,10 @@ def emasc(dataset: str = "vitonhd", *, checkpoint=None, checkpoint_dir=None,
     (reference hubconf.py:40-53)."""
     module = EMASC(dtype=dtype, param_dtype=param_dtype)
     path = _resolve_checkpoint("emasc", dataset, checkpoint, checkpoint_dir)
-    variables = C.convert_emasc(C.load_torch_state(path), kind="nonlinear")
+    variables = _cached_convert(
+        path, "emasc",
+        lambda: C.convert_emasc(C.load_torch_state(path),
+                                kind="nonlinear"))
     return module, _to_jax(variables, param_dtype)
 
 
@@ -108,7 +171,9 @@ def inversion_adapter(dataset: str = "vitonhd", *, checkpoint=None,
                               dtype=dtype, param_dtype=param_dtype)
     path = _resolve_checkpoint("inversion_adapter", dataset, checkpoint,
                                checkpoint_dir)
-    variables = C.convert_inversion_adapter(C.load_torch_state(path))
+    variables = _cached_convert(
+        path, "inversion_adapter",
+        lambda: C.convert_inversion_adapter(C.load_torch_state(path)))
     return module, _to_jax(variables, param_dtype)
 
 
@@ -117,46 +182,56 @@ def warping_module(dataset: str = "vitonhd", *, checkpoint=None,
     """(ConvNetTPS, UNetVanilla refinement) with trained weights
     (reference hubconf.py:56-64).  Runs fp32 like the reference
     (src/inference.py:197-198)."""
-    import torch
-
     path = _resolve_checkpoint("warping", dataset, checkpoint,
                                checkpoint_dir)
-    bundle = torch.load(path, map_location="cpu", weights_only=True)
-    tps_state = {k: v.detach().float().numpy()
-                 for k, v in bundle["tps"].items()}
-    ref_state = {k: v.detach().float().numpy()
-                 for k, v in bundle["refinement"].items()}
+
+    def _convert_bundle():
+        import torch
+
+        bundle = torch.load(path, map_location="cpu", weights_only=True)
+        tps_state = {k: v.detach().float().numpy()
+                     for k, v in bundle["tps"].items()}
+        ref_state = {k: v.detach().float().numpy()
+                     for k, v in bundle["refinement"].items()}
+        return {"tps": C.convert_tps(tps_state),
+                "ref": C.convert_refinement(ref_state)}
+
+    both = _cached_convert(path, "warping", _convert_bundle)
     tps = ConvNetTPS(height=256, width=192, input_nc_b=21,
                      param_dtype=param_dtype)
     refinement = UNetVanilla(out_channels=3, bilinear=True,
                              param_dtype=param_dtype)
-    return ((tps, _to_jax(C.convert_tps(tps_state), param_dtype)),
-            (refinement, _to_jax(C.convert_refinement(ref_state),
-                                 param_dtype)))
+    return ((tps, _to_jax(both["tps"], param_dtype)),
+            (refinement, _to_jax(both["ref"], param_dtype)))
 
 
 # ---------------------------------------------------------- SD-2 base towers
 
 
-def _load_model_dir_state(model_dir: str, subfolder: str):
-    """Load a diffusers/transformers subfolder checkpoint to numpy."""
-    import torch
-
+def _find_model_file(model_dir: str, subfolder: str) -> Path:
     folder = Path(model_dir) / subfolder
     for fname in ("diffusion_pytorch_model.bin", "pytorch_model.bin",
                   "diffusion_pytorch_model.safetensors",
                   "model.safetensors"):
         path = folder / fname
         if path.exists():
-            if fname.endswith(".safetensors"):
-                from safetensors.torch import load_file
-
-                state = load_file(str(path))
-            else:
-                state = torch.load(str(path), map_location="cpu",
-                                   weights_only=True)
-            return {k: v.detach().float().numpy() for k, v in state.items()}
+            return path
     raise FileNotFoundError(f"no checkpoint under {folder}")
+
+
+def _load_model_dir_state(model_dir: str, subfolder: str):
+    """Load a diffusers/transformers subfolder checkpoint to numpy."""
+    import torch
+
+    path = _find_model_file(model_dir, subfolder)
+    if path.suffix == ".safetensors":
+        from safetensors.torch import load_file
+
+        state = load_file(str(path))
+    else:
+        state = torch.load(str(path), map_location="cpu",
+                           weights_only=True)
+    return {k: v.detach().float().numpy() for k, v in state.items()}
 
 
 def sd2_vae(model_dir: str, *, param_dtype=jnp.float32,
@@ -164,7 +239,9 @@ def sd2_vae(model_dir: str, *, param_dtype=jnp.float32,
     """EMASC-aware VAE with SD-2-inpainting weights
     (reference src/inference.py:126)."""
     vae = AutoencoderKL(VAEConfig(), dtype=dtype, param_dtype=param_dtype)
-    variables = C.convert_vae(_load_model_dir_state(model_dir, "vae"))
+    variables = _cached_convert(
+        _find_model_file(model_dir, "vae"), "sd2_vae",
+        lambda: C.convert_vae(_load_model_dir_state(model_dir, "vae")))
     return vae, _to_jax(variables, param_dtype)
 
 
@@ -172,8 +249,10 @@ def sd2_text_encoder(model_dir: str, *, param_dtype=jnp.float32,
                      dtype=jnp.bfloat16):
     model = CLIPTextModel(sd2_text_config(), dtype=dtype,
                           param_dtype=param_dtype)
-    variables = C.convert_clip_text(
-        _load_model_dir_state(model_dir, "text_encoder"))
+    variables = _cached_convert(
+        _find_model_file(model_dir, "text_encoder"), "sd2_text",
+        lambda: C.convert_clip_text(
+            _load_model_dir_state(model_dir, "text_encoder")))
     return model, _to_jax(variables, param_dtype)
 
 
@@ -182,5 +261,7 @@ def clip_vit_h_vision(model_dir: str, *, param_dtype=jnp.float32,
     """laion/CLIP-ViT-H-14 vision tower (reference src/inference.py:127)."""
     model = CLIPVisionModel(vit_h_vision_config(), dtype=dtype,
                             param_dtype=param_dtype)
-    variables = C.convert_clip_vision(_load_model_dir_state(model_dir, ""))
+    variables = _cached_convert(
+        _find_model_file(model_dir, ""), "clip_vit_h",
+        lambda: C.convert_clip_vision(_load_model_dir_state(model_dir, "")))
     return model, _to_jax(variables, param_dtype)

@@ -264,3 +264,35 @@ def compute_metrics(
             results["is_score"] = is_mean
 
     return results
+
+
+def fid_between_folders(folder_a: str, folder_b: str, *,
+                        batch_size: int = 32,
+                        weights_dir: Optional[str] = None) -> float:
+    """FID between two plain image folders — the clean-fid
+    ``compute_fid(a, b, mode='clean')`` surface, used by the metric
+    parity harness (tests/test_metric_parity.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ladi_vton_tpu.metrics.fid import frechet_distance, gaussian_stats
+    from ladi_vton_tpu.metrics.inception import clean_resize_to_299
+
+    inc_model, inc_vars = MetricModels(weights_dir).inception()
+    inc_apply = jax.jit(lambda x: inc_model.apply(inc_vars, x))
+
+    def folder_stats(folder):
+        paths = sorted(
+            p for p in Path(folder).iterdir()
+            if p.suffix.lower() in (".jpg", ".jpeg", ".png"))
+        feats = []
+        for start in range(0, len(paths), batch_size):
+            u8 = _load_batch_u8(
+                [str(p) for p in paths[start:start + batch_size]])
+            f, _ = inc_apply(jnp.asarray(clean_resize_to_299(u8)))
+            feats.append(np.asarray(f))
+        return gaussian_stats(np.concatenate(feats))
+
+    mu_a, s_a = folder_stats(folder_a)
+    mu_b, s_b = folder_stats(folder_b)
+    return frechet_distance(mu_a, s_a, mu_b, s_b)

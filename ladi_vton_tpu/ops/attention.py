@@ -58,20 +58,30 @@ def dot_product_attention(
     scale: Optional[float] = None,
     impl: str = "auto",
 ) -> jax.Array:
-    """Dispatch: Pallas flash kernel on TPU (non-causal), XLA otherwise."""
+    """Dispatch: Pallas flash kernel on TPU (non-causal), XLA otherwise.
+
+    ``auto`` picks per LOWERING platform via
+    ``jax.lax.platform_dependent`` — never by querying ``jax.devices()``
+    at trace time, so a computation pinned to CPU devices (virtual-mesh
+    dryruns) takes the XLA path even when a TPU backend exists, and a
+    broken TPU runtime is never touched from host-side dispatch.
+    """
     if impl == "xla":
         return xla_attention(q, k, v, causal=causal, scale=scale)
     if impl in ("auto", "pallas"):
-        on_tpu = any(d.platform == "tpu" for d in jax.devices())
-        if (impl == "pallas" or on_tpu) and not causal:
-            from ladi_vton_tpu.ops.flash_attention import flash_attention
+        from ladi_vton_tpu.ops.flash_attention import flash_attention
 
-            try:
-                return flash_attention(
-                    q, k, v, scale=scale, interpret=not on_tpu
-                )
-            except Exception:
-                if impl == "pallas":
-                    raise
-        return xla_attention(q, k, v, causal=causal, scale=scale)
+        if impl == "pallas":  # forced (tests): interpret off-TPU
+            return flash_attention(
+                q, k, v, scale=scale,
+                interpret=jax.default_backend() != "tpu")
+        if causal:
+            return xla_attention(q, k, v, causal=True, scale=scale)
+        return jax.lax.platform_dependent(
+            q, k, v,
+            tpu=lambda q_, k_, v_: flash_attention(q_, k_, v_,
+                                                   scale=scale),
+            default=lambda q_, k_, v_: xla_attention(q_, k_, v_,
+                                                     scale=scale),
+        )
     raise ValueError(f"unknown attention impl: {impl!r}")

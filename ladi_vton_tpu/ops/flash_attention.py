@@ -106,6 +106,9 @@ def _flash_fwd_impl(q, k, v, scale: float, block_q: int, block_k: int,
         ],
         out_specs=pl.BlockSpec((1, block_q, D), lambda bh, qi: (bh, qi, 0),
                                memory_space=pltpu.VMEM),
+        # full-KV blocks at S=3072 need ~27MB scoped VMEM; v5e has 128MB
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(qf, kf, vf)
 
@@ -138,14 +141,26 @@ def flash_attention(
     v: jax.Array,
     *,
     scale: Optional[float] = None,
-    block_q: int = 256,
-    block_k: int = 256,
+    block_q: int = 512,
+    block_k: Optional[int] = None,
     interpret: bool = False,
 ) -> jax.Array:
-    """Flash attention over (B, S, H, D) tensors. Non-causal."""
+    """Flash attention over (B, S, H, D) tensors. Non-causal.
+
+    Default blocks are tuned for the UNet's hot shape (Sq=Sk=3072,
+    D=64, measured on v5e — tools/perf_probe3.py): q-blocks of 512 and
+    the FULL KV slice per block when it fits VMEM (<= 4096 rows), which
+    skips the online-softmax rescale chain entirely inside the loop.
+    (256, 256) ran at 13% MFU; (512, full) at 32%.
+    """
     if scale is None:
         scale = q.shape[-1] ** -0.5
     Sq, Sk = q.shape[1], k.shape[1]
+    skp = _round_up(Sk, 128)
+    if block_k is None:
+        # full-KV single pass when the score tile stays within VMEM;
+        # blockwise streaming beyond that
+        block_k = skp if skp <= 4096 else 1024
     block_q = min(block_q, _round_up(Sq, 128))
-    block_k = min(block_k, _round_up(Sk, 128))
+    block_k = min(block_k, skp)
     return _flash(q, k, v, float(scale), block_q, block_k, interpret)

@@ -55,6 +55,112 @@ def group_norm_silu_xla(x, scale, bias, *, num_groups=32, eps=1e-6):
                           act="silu")
 
 
+def _one_pass_kernel(x_ref, scale_ref, bias_ref, gmap_ref, gmapt_ref,
+                     out_ref, *, act: str, eps: float, count: float,
+                     chunk: int):
+    """Single-pass GN[+SiLU]: one (N, C) block per batch element.
+
+    ONE x read + ONE write (the memory-bound optimum).  The bf16 slab
+    sits in VMEM; compute streams ``chunk`` rows at a time so fp32
+    temporaries stay small (a whole-slab fp32 cast blows the 16MB
+    scoped-VMEM budget at UNet sizes).  Group reductions ride the MXU:
+    per-channel sums x (C, G) one-hot map -> per-group sums; the
+    (G, C) transpose map broadcasts mean/rstd back to channels.
+    """
+    N, C = x_ref.shape[1], x_ref.shape[2]
+    nchunks = N // chunk
+
+    def stats_body(i, carry):
+        s, sq = carry
+        xa = x_ref[0, pl.ds(i * chunk, chunk), :].astype(jnp.float32)
+        return (s + jnp.sum(xa, axis=0, keepdims=True),
+                sq + jnp.sum(xa * xa, axis=0, keepdims=True))
+
+    zero = jnp.zeros((1, C), jnp.float32)
+    ch_sum, ch_sq = jax.lax.fori_loop(0, nchunks, stats_body,
+                                      (zero, zero))
+    gmap = gmap_ref[...]  # (C, G) one-hot
+    g_sum = jax.lax.dot_general(ch_sum, gmap, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    g_sq = jax.lax.dot_general(ch_sq, gmap, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    mean = g_sum / count  # (1, G)
+    var = g_sq / count - mean * mean
+    rstd = jax.lax.rsqrt(var + eps)
+    gmapt = gmapt_ref[...]  # (G, C)
+    mean_c = jax.lax.dot_general(mean, gmapt, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    rstd_c = jax.lax.dot_general(rstd, gmapt, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    a = rstd_c * scale_ref[0]
+    b = bias_ref[0] - mean_c * a
+
+    def apply_body(i, _):
+        xa = x_ref[0, pl.ds(i * chunk, chunk), :].astype(jnp.float32)
+        o = xa * a + b
+        if act == "silu":
+            o = o * jax.nn.sigmoid(o)
+        out_ref[0, pl.ds(i * chunk, chunk), :] = o.astype(out_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, apply_body, 0)
+
+
+# the slab is normalized IN PLACE (input aliased to output) so VMEM
+# holds ~2 bf16 copies (double-buffered) + chunked fp32 temps; measured
+# ceiling: 1.97M-elem slabs compile, whole-VAE-resolution slabs do not
+_ONE_PASS_MAX_ELEMS = 2_200_000
+
+
+def _row_chunk(n: int) -> int:
+    for c in (512, 384, 256, 128, 64, 32, 16, 8):
+        if n % c == 0:
+            return c
+    return n
+
+
+def _group_norm_pallas_one_pass(x, scale, bias, *, num_groups, eps, act,
+                                interpret):
+    orig_shape = x.shape
+    B, C = x.shape[0], x.shape[-1]
+    xr = x.reshape(B, -1, C)
+    N = xr.shape[1]
+    cg = C // num_groups
+    eye = jnp.eye(num_groups, dtype=jnp.float32)
+    gmap = jnp.repeat(eye, cg, axis=0)  # (C, G)
+    gmapt = gmap.T  # (G, C)
+
+    out = pl.pallas_call(
+        functools.partial(_one_pass_kernel, act=act, eps=eps,
+                          count=float(N * cg),
+                          chunk=min(_row_chunk(N), N)),
+        out_shape=jax.ShapeDtypeStruct(xr.shape, x.dtype),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, num_groups), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_groups, C), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        input_output_aliases={0: 0},  # normalize in place
+        # the default 16MB scoped-VMEM budget rejects double-buffered
+        # 2M-element slabs; v5e has 128MB of VMEM — allow 48MB
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024),
+        interpret=interpret,
+    )(xr, scale.reshape(1, C).astype(jnp.float32),
+      bias.reshape(1, C).astype(jnp.float32), gmap, gmapt)
+    return out.reshape(orig_shape)
+
+
 def _stats_kernel(x_ref, out_ref):
     """Accumulate per-channel [sum, sumsq] over row tiles."""
     tile = x_ref[0].astype(jnp.float32)  # (T, C)
@@ -95,6 +201,10 @@ def group_norm_pallas(x, scale, bias, *, num_groups=32, eps=1e-6,
     B, C = x.shape[0], x.shape[-1]
     xr = x.reshape(B, -1, C)
     N = xr.shape[1]
+    if N * C <= _ONE_PASS_MAX_ELEMS:
+        return _group_norm_pallas_one_pass(
+            x, scale, bias, num_groups=num_groups, eps=eps, act=act,
+            interpret=interpret)
     T = min(row_tile, N)
     if N % T:
         # pad rows so tiles are uniform; padded rows are excluded from
@@ -185,27 +295,35 @@ _gn_pallas_diff.defvjp(_gn_pallas_fwd, _gn_pallas_bwd)
 
 def group_norm(x, scale, bias, *, num_groups=32, eps=1e-6, act="none",
                impl="auto"):
-    """Dispatch: Pallas on TPU when shapes are kernel-friendly.
+    """Dispatch: Pallas kernel when lowering for TPU, XLA oracle elsewhere.
 
-    The kernel needs C large enough that lanes aren't mostly padding and
-    uniform row tiles; everything else (CPU, tiny test towers, ragged
-    spatial extents) takes the XLA oracle, which is numerically the
-    definition of this op.
+    The platform choice is made with ``jax.lax.platform_dependent`` at
+    LOWERING time — never by querying ``jax.devices()`` at trace time.
+    This matters twice: (a) a computation pinned to CPU devices (the
+    multi-chip dryrun's virtual mesh) must not pick the TPU kernel just
+    because a TPU backend exists, and (b) touching the TPU backend from
+    host-side dispatch can itself fault when the TPU runtime is broken.
+
+    The kernel also needs C large enough that lanes aren't mostly
+    padding and uniform row tiles; tiny test towers and ragged spatial
+    extents take the XLA oracle, which is numerically the definition of
+    this op.
     """
+    xla_fn = functools.partial(group_norm_xla, num_groups=num_groups,
+                               eps=eps, act=act)
     if impl == "xla":
-        return group_norm_xla(x, scale, bias, num_groups=num_groups,
-                              eps=eps, act=act)
-    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+        return xla_fn(x, scale, bias)
+    if impl == "pallas":  # forced (tests): interpret off-TPU
+        return _gn_pallas_diff(x, scale, bias, num_groups, eps, act,
+                               jax.default_backend() != "tpu")
     C = x.shape[-1]
-    if (impl == "pallas" or on_tpu) and C >= 128 and C % num_groups == 0:
-        try:
-            return _gn_pallas_diff(x, scale, bias, num_groups, eps, act,
-                                   not on_tpu)
-        except Exception:
-            if impl == "pallas":
-                raise
-    return group_norm_xla(x, scale, bias, num_groups=num_groups, eps=eps,
-                          act=act)
+    if C < 128 or C % num_groups:
+        return xla_fn(x, scale, bias)
+    return jax.lax.platform_dependent(
+        x, scale, bias,
+        tpu=lambda x_, s_, b_: _gn_pallas_diff(x_, s_, b_, num_groups,
+                                               eps, act, False),
+        default=xla_fn)
 
 
 def group_norm_silu(x, scale, bias, *, num_groups=32, eps=1e-6,

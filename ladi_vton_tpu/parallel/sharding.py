@@ -33,6 +33,29 @@ def eval_shard_batch(mesh, tree):
         lambda x: jax.device_put(x, sharding), tree)
 
 
+def eval_placement(mesh) -> tuple[Callable, Callable]:
+    """(put_replicated, put_sharded) helpers for batch inference.
+
+    "Computation follows data": put the weight trees replicated and the
+    batch arrays sharded over ``data``, and every jitted program
+    downstream (prep / denoise scan / decode) executes data-parallel
+    across the mesh with XLA inserting any needed collectives — the
+    TPU equivalent of the reference's accelerator.prepare(dataloader)
+    DDP eval sharding (reference src/inference.py:223).
+    """
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+
+    def put_replicated(tree):
+        return jax.device_put(tree, repl)
+
+    def put_sharded(tree):
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, data), tree)
+
+    return put_replicated, put_sharded
+
+
 def data_parallel_sampler(sample_fn: Callable, mesh) -> Callable:
     """jit a pipeline sampler with batch-sharded image inputs.
 

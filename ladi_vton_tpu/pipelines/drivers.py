@@ -33,9 +33,9 @@ def _save_images(images: np.ndarray, names, categories, save_dir: str,
     from PIL import Image
 
     for img, name, cat in zip(images, names, categories):
-        if name in seen:
+        if (cat, name) in seen:  # pad_last duplicates
             continue
-        seen.add(name)
+        seen.add((cat, name))
         cat_dir = os.path.join(save_dir, cat)
         os.makedirs(cat_dir, exist_ok=True)
         pil = Image.fromarray((np.asarray(img) * 255).round().astype(np.uint8))
@@ -67,21 +67,36 @@ def generate_images_from_tryon_pipe(
     cloth_input_type: str = "warped",
     cloth_cond_rate: float = 1.0,
     no_pose: bool = False,
+    mesh=None,
 ):
     """Generate try-on images for every batch in ``loader``.
 
     Expects batches with image/inpaint_mask/pose_map/warped_cloth
     (+cloth or clip_cloth_features for adapter mode) + im_name/category.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` — batches shard over its
+    ``data`` axis and each chip denoises its slice (the reference's
+    accelerate DDP eval, src/inference.py:223).  Batch sizes must be
+    divisible by the data-axis size (use BatchLoader(pad_last=True)).
     """
     os.makedirs(save_dir, exist_ok=True)
     root_key = jax.random.key(seed)
     empty_ids = jnp.asarray(tokenizer([""])[0])
 
+    if mesh is not None:
+        from ladi_vton_tpu.parallel.sharding import eval_placement
+
+        put_repl, put_data = eval_placement(mesh)
+    else:
+        put_repl = put_data = lambda tree: tree
+
     clip_mean = jnp.asarray([0.48145466, 0.4578275, 0.40821073])
     clip_std = jnp.asarray([0.26862954, 0.26130258, 0.27577711])
 
     # weight trees as jit ARGUMENTS (closures would bake GBs of constants)
-    text_cond_params = {"text": text_vars, "adapter": adapter_vars}
+    text_cond_params = put_repl({"text": text_vars, "adapter": adapter_vars})
+    params = put_repl(params)
+    vision_vars = put_repl(vision_vars) if vision_vars is not None else None
 
     @jax.jit
     def encode_text(tp, input_ids, clip_feats):
@@ -137,12 +152,18 @@ def generate_images_from_tryon_pipe(
             prompts = [""] * len(batch["im_name"])
         input_ids = jnp.asarray(tokenizer(prompts))
         rng = jax.random.fold_in(root_key, step)
-        images = run(jnp.asarray(batch["image"]),
-                     jnp.asarray(batch["inpaint_mask"]),
-                     jnp.asarray(batch["pose_map"]),
-                     jnp.asarray(batch.get(
-                         "warped_cloth", batch["image"])),
-                     input_ids, clip_feats, rng)
+        arrays = put_data({
+            "image": jnp.asarray(batch["image"]),
+            "mask": jnp.asarray(batch["inpaint_mask"]),
+            "pose": jnp.asarray(batch["pose_map"]),
+            "warped": jnp.asarray(batch.get(
+                "warped_cloth", batch["image"])),
+            "input_ids": input_ids,
+            "clip_feats": clip_feats,
+        })
+        images = run(arrays["image"], arrays["mask"], arrays["pose"],
+                     arrays["warped"], arrays["input_ids"],
+                     arrays["clip_feats"], rng)
         _save_images(np.asarray(images), batch["im_name"],
                      batch["category"], save_dir, seen, use_png)
 
@@ -163,22 +184,26 @@ def extract_save_vae_images(
     os.makedirs(save_dir, exist_ok=True)
     root_key = jax.random.key(seed)
 
+    # weight trees as jit ARGUMENTS (closures would bake the VAE into
+    # the program as constants)
+    recon_params = {"vae": vae_vars, "emasc": emasc_vars}
+
     @jax.jit
-    def recon(image, im_mask, inpaint_mask, rng):
-        moments, _ = vae.apply(vae_vars, image, method="encode")
+    def recon(rp, image, im_mask, inpaint_mask, rng):
+        moments, _ = vae.apply(rp["vae"], image, method="encode")
         latents = DiagonalGaussian(moments).sample(rng)
-        _, feats = vae.apply(vae_vars, im_mask, method="encode")
+        _, feats = vae.apply(rp["vae"], im_mask, method="encode")
         sel = [feats[i] for i in int_layers]
-        adapted = emasc.apply(emasc_vars, sel)
+        adapted = emasc.apply(rp["emasc"], sel)
         adapted = mask_features(adapted, inpaint_mask)
-        out = vae.apply(vae_vars, latents, adapted, tuple(int_layers),
+        out = vae.apply(rp["vae"], latents, adapted, tuple(int_layers),
                         method="decode")
         return jnp.clip(out.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
 
     seen: set[str] = set()
     for step, batch in enumerate(loader):
         rng = jax.random.fold_in(root_key, step)
-        images = recon(jnp.asarray(batch["image"]),
+        images = recon(recon_params, jnp.asarray(batch["image"]),
                        jnp.asarray(batch["im_mask"]),
                        jnp.asarray(batch["inpaint_mask"]), rng)
         _save_images(np.asarray(images), batch["im_name"],

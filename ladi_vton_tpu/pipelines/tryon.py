@@ -34,7 +34,6 @@ from typing import Any, Optional, Sequence
 import jax
 import jax.numpy as jnp
 
-from ladi_vton_tpu.diffusion.schedulers import DDIMScheduler
 from ladi_vton_tpu.models.emasc import EMASC, mask_features
 from ladi_vton_tpu.models.unet_condition import UNet2DCondition
 from ladi_vton_tpu.models.vae import AutoencoderKL, DiagonalGaussian
@@ -54,11 +53,16 @@ def prepare_mask_and_masked_image(image: jax.Array, mask: jax.Array):
 
 @dataclasses.dataclass(frozen=True)
 class TryOnPipeline:
-    """Bundles the model defs; parameters travel separately (functional)."""
+    """Bundles the model defs; parameters travel separately (functional).
+
+    ``scheduler`` accepts the reference's full union — DDIM, PNDM or
+    LMS (reference tryon_pipe.py scheduler type hints) — via the
+    uniform ``init_loop_state / scale_input / loop_step`` protocol.
+    """
 
     unet: UNet2DCondition
     vae: AutoencoderKL
-    scheduler: DDIMScheduler
+    scheduler: Any  # DDIMScheduler | PNDMScheduler | LMSDiscreteScheduler
     emasc: Optional[EMASC] = None
     emasc_int_layers: Sequence[int] = (1, 2, 3, 4, 5)
     vae_scale_factor: int = 8
@@ -92,7 +96,7 @@ class TryOnPipeline:
                                 warped_cloth=warped_cloth, rng=rng,
                                 no_pose=no_pose)
         if latents is not None:
-            prepared["latents"] = latents * self.scheduler.init_noise_sigma
+            prepared["latents"] = latents
         intermediate = prepared.pop("intermediate")
         latents = self.denoise(
             params, prepared, prompt_embeds=prompt_embeds,
@@ -138,9 +142,10 @@ class TryOnPipeline:
             adapted = self.emasc.apply(params["emasc"], selected)
             intermediate = mask_features(adapted, mask_image)
 
+        # raw N(0,1) here; denoise scales by the scheduler's
+        # init_noise_sigma (which for LMS is only known per plan)
         latents = jax.random.normal(rng_latents, (B, lh, lw, 4),
                                     jnp.float32)
-        latents = latents * self.scheduler.init_noise_sigma
         return {
             "latents": latents,
             "mask_lat": mask_lat,
@@ -171,12 +176,20 @@ class TryOnPipeline:
             cloth_in = cloth_latents
         return mask_in, masked_in, pose_in, cloth_in, context
 
-    def denoise_one_step(self, params, latents, step_i, t, *, mask_in,
-                         masked_in, pose_in, cloth_in, context,
+    def denoise_one_step(self, params, latents, sched_state, step_i, t, *,
+                         mask_in, masked_in, pose_in, cloth_in, context,
                          guidance_scale: float, cloth_gate_from: float):
-        """A single denoise update — the unit of the host-driven loop."""
+        """A single denoise update — the unit of the host-driven loop.
+
+        Returns (new_latents, new_scheduler_state).  ``scale_input`` /
+        ``loop_step`` is the uniform protocol all three schedulers
+        (DDIM | PNDM | LMS — the reference pipeline's scheduler union,
+        tryon_pipe.py type hints) implement, so the same scan body
+        serves any of them (scale_model_input: tryon_pipe.py:722).
+        """
         do_cfg = guidance_scale > 1.0
-        lmi = jnp.concatenate([latents] * 2) if do_cfg else latents
+        scaled = self.scheduler.scale_input(latents, step_i, t)
+        lmi = jnp.concatenate([scaled] * 2) if do_cfg else scaled
         parts = [lmi, mask_in.astype(lmi.dtype),
                  masked_in.astype(lmi.dtype), pose_in.astype(lmi.dtype)]
         if cloth_in is not None:
@@ -190,30 +203,34 @@ class TryOnPipeline:
         if do_cfg:
             uncond, text = jnp.split(noise_pred, 2, axis=0)
             noise_pred = uncond + guidance_scale * (text - uncond)
-        return self.scheduler.step(noise_pred, t, latents)
+        sched_state, latents = self.scheduler.loop_step(
+            sched_state, noise_pred, step_i, t, latents)
+        return latents, sched_state
 
     def denoise(self, params, prepared, *, prompt_embeds,
                 negative_prompt_embeds, num_inference_steps: int = 50,
                 guidance_scale: float = 7.5,
                 cloth_cond_rate: float = 1.0):
         do_cfg = guidance_scale > 1.0
-        latents = prepared["latents"]
         timesteps = self.scheduler.set_timesteps(num_inference_steps)
-        cloth_gate_from = (num_inference_steps
-                           - (1.0 - cloth_cond_rate) * num_inference_steps)
+        latents = prepared["latents"] * self.scheduler.init_noise_sigma
+        n_loop = int(timesteps.shape[0])  # PNDM plans are n+1 long
+        cloth_gate_from = cloth_cond_rate * n_loop
         mask_in, masked_in, pose_in, cloth_in, context = self._cfg_inputs(
             prepared, prompt_embeds, negative_prompt_embeds, do_cfg)
 
-        def denoise_step(latents, step):
+        def denoise_step(carry, step):
+            latents, sched_state = carry
             i, t = step
             return self.denoise_one_step(
-                params, latents, i, t, mask_in=mask_in, masked_in=masked_in,
-                pose_in=pose_in, cloth_in=cloth_in, context=context,
-                guidance_scale=guidance_scale,
+                params, latents, sched_state, i, t, mask_in=mask_in,
+                masked_in=masked_in, pose_in=pose_in, cloth_in=cloth_in,
+                context=context, guidance_scale=guidance_scale,
                 cloth_gate_from=cloth_gate_from), None
 
-        steps = (jnp.arange(num_inference_steps), timesteps)
-        latents, _ = jax.lax.scan(denoise_step, latents, steps)
+        steps = (jnp.arange(n_loop), timesteps)
+        carry0 = (latents, self.scheduler.init_loop_state(latents))
+        (latents, _), _ = jax.lax.scan(denoise_step, carry0, steps)
         return latents
 
     def decode(self, params, latents, intermediate=None):
@@ -273,25 +290,27 @@ class TryOnPipeline:
             n_steps = den_kwargs.get("num_inference_steps", 50)
             g = den_kwargs.get("guidance_scale", 7.5)
             rate = den_kwargs.get("cloth_cond_rate", 1.0)
-            gate = n_steps - (1.0 - rate) * n_steps
+            timesteps = self.scheduler.set_timesteps(n_steps)
+            host_ts = [int(t) for t in timesteps]
+            gate = rate * len(host_ts)
             step_fn = jax.jit(functools.partial(
                 self.denoise_one_step, guidance_scale=g,
                 cloth_gate_from=gate))
-            timesteps = self.scheduler.set_timesteps(n_steps)
-            host_ts = [int(t) for t in timesteps]
 
             def den(params, prepared, *, prompt_embeds,
                     negative_prompt_embeds):
                 mask_in, masked_in, pose_in, cloth_in, context = (
                     self._cfg_inputs(prepared, prompt_embeds,
                                      negative_prompt_embeds, g > 1.0))
-                latents = prepared["latents"]
+                latents = (prepared["latents"]
+                           * self.scheduler.init_noise_sigma)
+                sched_state = self.scheduler.init_loop_state(latents)
                 for i, t in enumerate(host_ts):
-                    latents = step_fn(
-                        params, latents, jnp.asarray(i), jnp.asarray(t),
-                        mask_in=mask_in, masked_in=masked_in,
-                        pose_in=pose_in, cloth_in=cloth_in,
-                        context=context)
+                    latents, sched_state = step_fn(
+                        params, latents, sched_state, jnp.asarray(i),
+                        jnp.asarray(t), mask_in=mask_in,
+                        masked_in=masked_in, pose_in=pose_in,
+                        cloth_in=cloth_in, context=context)
                 return latents
 
         def sampler(params, image, mask_image, pose_map, warped_cloth,

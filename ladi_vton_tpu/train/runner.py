@@ -37,15 +37,16 @@ class Trackers:
     (reference src/train_vto.py:461-466 accelerate trackers)."""
 
     def __init__(self, report_to: Optional[str], project: str,
-                 output_dir: str, config: dict):
+                 output_dir: str, config: dict,
+                 entity: Optional[str] = None):
         self.backends = []
-        if jax.process_index() != 0 or not report_to:
+        if jax.process_index() != 0:
             return
         if report_to in ("wandb", "all"):
             try:
                 import wandb
 
-                wandb.init(project=project, config=config,
+                wandb.init(project=project, entity=entity, config=config,
                            dir=output_dir)
                 self.backends.append(("wandb", wandb))
             except Exception as e:

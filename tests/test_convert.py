@@ -193,3 +193,41 @@ def test_vae_export_then_convert_round_trip():
     b, _ = vae.apply(jax.tree_util.tree_map(jnp.asarray, back), x,
                      method="encode")
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_cached_convert_roundtrip_and_hit(tmp_path, monkeypatch):
+    """zoo._cached_convert: first call converts + writes an .npz; the
+    second call loads the identical tree without invoking the
+    converter.  Keyed on source mtime+size so retrained checkpoints
+    reconvert."""
+    import numpy as np
+
+    from ladi_vton_tpu.hub import zoo
+
+    monkeypatch.setenv("LADI_VTON_CACHE", str(tmp_path / "cache"))
+    src = tmp_path / "weights.pth"
+    src.write_bytes(b"0" * 128)
+
+    tree = {"params": {"conv": {"kernel": np.arange(12.0).reshape(3, 4),
+                                "bias": np.zeros(4)},
+                       "norm": {"scale": np.ones(4)}}}
+    calls = []
+
+    def convert():
+        calls.append(1)
+        return tree
+
+    out1 = zoo._cached_convert(src, "testtag", convert)
+    out2 = zoo._cached_convert(src, "testtag", convert)
+    assert len(calls) == 1  # second call served from cache
+    np.testing.assert_array_equal(out2["params"]["conv"]["kernel"],
+                                  tree["params"]["conv"]["kernel"])
+    np.testing.assert_array_equal(out2["params"]["norm"]["scale"],
+                                  tree["params"]["norm"]["scale"])
+    assert jax.tree_util.tree_structure(out1) == \
+        jax.tree_util.tree_structure(out2)
+
+    # touching the source invalidates the key
+    src.write_bytes(b"0" * 256)
+    zoo._cached_convert(src, "testtag", convert)
+    assert len(calls) == 2

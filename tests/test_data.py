@@ -223,3 +223,20 @@ def test_native_library_matches_numpy_oracles():
     ours = native.resize_bilinear_u8(img, (32, 24))
     ref = cv2.resize(img, (24, 32), interpolation=cv2.INTER_LINEAR)
     assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_batch_loader_process_mode_matches_thread_mode(dresscode_root):
+    """workers_mode='process' (torch-DataLoader-style fork pool,
+    reference src/train_vto.py:400-432 num_workers) yields byte-equal
+    batches in the same order as the thread pool."""
+    ds = DressCodeDataset(str(dresscode_root), phase="train",
+                          outputlist=("image", "im_name", "pose_map"),
+                          size=(H, W))
+    thread = list(BatchLoader(ds, batch_size=3, num_workers=2))
+    proc = list(BatchLoader(ds, batch_size=3, num_workers=2,
+                            workers_mode="process"))
+    assert len(thread) == len(proc)
+    for a, b in zip(thread, proc):
+        assert a["im_name"] == b["im_name"]
+        np.testing.assert_array_equal(a["image"], b["image"])
+        np.testing.assert_array_equal(a["pose_map"], b["pose_map"])

@@ -155,3 +155,70 @@ def test_lms_scheduler_contracts_linear_model():
         derivs, x = sched.step(derivs, eps, i, x)
     assert np.isfinite(np.asarray(x)).all()
     assert np.abs(np.asarray(x)).max() < sched.init_noise_sigma
+
+
+def _perfect_eps_oracle(sched_acp, x0, x, t):
+    """Exact epsilon for a sample on the path x_t = sa*x0 + sb*eps."""
+    a = sched_acp[int(t)]
+    return (x - np.sqrt(a) * x0) / np.sqrt(1.0 - a)
+
+
+def test_ddim_recovers_x0_with_perfect_model():
+    """With the exact epsilon as model output, 10 DDIM steps land on
+    (approximately) x0 — the strongest scheduler correctness check that
+    needs no external library."""
+    sched = DDIMScheduler()
+    ts = np.asarray(sched.set_timesteps(10))
+    acp = np.asarray(sched.alphas_cumprod)
+    rng = np.random.default_rng(0)
+    x0 = rng.standard_normal((1, 8)).astype(np.float32)
+    eps0 = rng.standard_normal((1, 8)).astype(np.float32)
+    x = jnp.asarray(np.sqrt(acp[ts[0]]) * x0
+                    + np.sqrt(1 - acp[ts[0]]) * eps0)
+    for t in ts:
+        eps = _perfect_eps_oracle(acp, x0, np.asarray(x), t)
+        x = sched.step(jnp.asarray(eps), jnp.asarray(int(t)), x)
+    # with a perfect model DDIM stays EXACTLY on the path; the final
+    # state is sqrt(acp[0])*x0 + sqrt(1-acp[0])*eps0
+    # (set_alpha_to_one=False keeps final_alpha_cumprod = acp[0])
+    expect = np.sqrt(acp[0]) * x0 + np.sqrt(1 - acp[0]) * eps0
+    np.testing.assert_allclose(np.asarray(x), expect, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(x), x0, atol=0.1)
+
+
+def test_pndm_recovers_x0_with_perfect_model():
+    from ladi_vton_tpu.diffusion.schedulers import PNDMScheduler
+
+    sched = PNDMScheduler()
+    ts = np.asarray(sched.set_timesteps(10))
+    acp = np.asarray(sched.alphas_cumprod)
+    rng = np.random.default_rng(1)
+    x0 = rng.standard_normal((1, 8)).astype(np.float32)
+    eps0 = rng.standard_normal((1, 8)).astype(np.float32)
+    x = jnp.asarray(np.sqrt(acp[ts[0]]) * x0
+                    + np.sqrt(1 - acp[ts[0]]) * eps0)
+    state = sched.init_state(x.shape)
+    for t in ts:
+        eps = _perfect_eps_oracle(acp, x0, np.asarray(x), t)
+        state, x = sched.step(state, jnp.asarray(eps), jnp.asarray(int(t)),
+                              x)
+    np.testing.assert_allclose(np.asarray(x), x0, atol=0.1)
+
+
+def test_lms_recovers_x0_with_perfect_model():
+    from ladi_vton_tpu.diffusion.schedulers import LMSDiscreteScheduler
+
+    sched = LMSDiscreteScheduler()
+    sched.set_timesteps(10)
+    rng = np.random.default_rng(2)
+    x0 = rng.standard_normal((1, 8)).astype(np.float32)
+    eps0 = rng.standard_normal((1, 8)).astype(np.float32)
+    # sigma-space path: x = x0 + sigma * eps0; a perfect model keeps the
+    # derivative constant so k-LMS integrates the path exactly
+    x = jnp.asarray(x0 + sched.sigmas[0] * eps0)
+    derivs = sched.init_state(x.shape)
+    for i in range(10):
+        sigma = sched.sigmas[i]
+        eps = (np.asarray(x) - x0) / sigma
+        derivs, x = sched.step(derivs, jnp.asarray(eps), i, x)
+    np.testing.assert_allclose(np.asarray(x), x0, atol=1e-3)

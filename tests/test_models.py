@@ -210,8 +210,18 @@ def test_vae_tiled_decode_matches_full_in_interior():
 
 
 def test_vto_grad_accumulation_equivalence():
-    """A=2 accumulation over a duplicated batch == single step on it."""
+    """A=2 accumulation == averaged unaccumulated microbatch updates.
+
+    The accumulated step splits the batch into A microbatches, draws
+    ``jax.random.split(rng, A)[i]`` for microbatch i, averages grads,
+    and applies ONE update.  With a linear optimizer (plain SGD, no
+    clipping) that update equals the mean of the per-microbatch SGD
+    updates from the same initial state and the same per-microbatch
+    rngs — an exact equivalence, checked parameter-by-parameter.
+    (Reference semantics: accelerate.accumulate, src/train_vto.py:519.)
+    """
     import jax as _jax
+    import optax
 
     from ladi_vton_tpu.diffusion.schedulers import DDPMScheduler
     from ladi_vton_tpu.models.clip import CLIPTextConfig, CLIPTextModel
@@ -219,7 +229,6 @@ def test_vto_grad_accumulation_equivalence():
     from ladi_vton_tpu.train.steps import (
         TrainState,
         VTOStepConfig,
-        make_optimizer,
         make_vto_train_step,
     )
 
@@ -233,20 +242,26 @@ def test_vto_grad_accumulation_equivalence():
         num_attention_heads=4, intermediate_size=64,
         max_position_embeddings=16))
     rng = _jax.random.key(0)
-    batch1 = {
-        "image": jnp.ones((1, H, W, 3)) * 0.1,
-        "im_mask": jnp.zeros((1, H, W, 3)),
-        "inpaint_mask": jnp.ones((1, H, W, 1)),
-        "pose_map": jnp.zeros((1, H, W, 18)),
-        "warped_cloth": jnp.zeros((1, H, W, 3)),
-        "input_ids": jnp.zeros((1, 16), jnp.int32),
-    }
-    batch2 = {k: jnp.concatenate([v, v]) for k, v in batch1.items()}
+    gen = np.random.default_rng(7)
+
+    def micro(i):
+        return {
+            "image": jnp.asarray(gen.standard_normal(
+                (1, H, W, 3)).astype(np.float32)) * 0.1,
+            "im_mask": jnp.zeros((1, H, W, 3)),
+            "inpaint_mask": jnp.ones((1, H, W, 1)),
+            "pose_map": jnp.zeros((1, H, W, 18)),
+            "warped_cloth": jnp.zeros((1, H, W, 3)),
+            "input_ids": jnp.zeros((1, 16), jnp.int32),
+        }
+
+    micro1, micro2 = micro(0), micro(1)
+    full = {k: jnp.concatenate([micro1[k], micro2[k]]) for k in micro1}
     unet_params = unet.init(rng, jnp.zeros((1, H // 8, W // 8, 31)),
                             jnp.asarray([0]), jnp.zeros((1, 16, 64)))
     frozen = {
-        "vae": vae.init(rng, batch1["image"]),
-        "text": text_model.init(rng, batch1["input_ids"]),
+        "vae": vae.init(rng, micro1["image"]),
+        "text": text_model.init(rng, micro1["input_ids"]),
     }
 
     def make(accum):
@@ -256,6 +271,27 @@ def test_vto_grad_accumulation_equivalence():
             unet=unet, vae=vae, text_model=text_model,
             noise_scheduler=DDPMScheduler(), config=cfg)
 
-    s0 = TrainState.create({"unet": unet_params}, make_optimizer(1e-3))
-    _, m_accum = _jax.jit(make(2))(s0, frozen, batch2, rng)
-    assert np.isfinite(float(m_accum["loss"]))
+    lr = 1e-2
+    tx = optax.sgd(lr)
+    s0 = TrainState.create({"unet": unet_params}, tx)
+
+    s_accum, m_accum = _jax.jit(make(2))(s0, frozen, full, rng)
+
+    step1 = _jax.jit(make(1))
+    rngs = _jax.random.split(rng, 2)
+    s_a, m_a = step1(s0, frozen, micro1, rngs[0])
+    s_b, m_b = step1(s0, frozen, micro2, rngs[1])
+
+    # loss is the microbatch mean
+    np.testing.assert_allclose(
+        float(m_accum["loss"]),
+        (float(m_a["loss"]) + float(m_b["loss"])) / 2, rtol=1e-5)
+    # p0 - lr*mean(g) == mean(p0 - lr*g_i): compare every parameter
+    expected = _jax.tree_util.tree_map(
+        lambda a, b: (a + b) / 2, s_a.params, s_b.params)
+    flat_e, _ = _jax.tree_util.tree_flatten(expected)
+    flat_g, _ = _jax.tree_util.tree_flatten(s_accum.params)
+    assert len(flat_e) == len(flat_g)
+    for e, g in zip(flat_e, flat_g):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(e),
+                                   atol=1e-5, rtol=1e-4)

@@ -246,3 +246,203 @@ def test_tryon_service_pads_and_strips(tmp_path):
             prompt_embeds=np.zeros((3, 7, 64), np.float32),
             negative_prompt_embeds=np.zeros((3, 7, 64), np.float32),
         )
+
+
+def test_tryon_pipeline_scheduler_union():
+    """The pipeline runs end-to-end with every scheduler the reference
+    accepts (DDIM | PNDM | LMS, tryon_pipe.py type hints), carrying
+    scheduler state through the scan and calling scale_model_input."""
+    from ladi_vton_tpu.diffusion.schedulers import (
+        LMSDiscreteScheduler,
+        PNDMScheduler,
+    )
+
+    base, params = _tiny_pipeline(with_emasc=True)
+    rng = jax.random.key(3)
+    outs = {}
+    for name, sched in [("ddim", DDIMScheduler()),
+                        ("pndm", PNDMScheduler()),
+                        ("lms", LMSDiscreteScheduler())]:
+        pipe = TryOnPipeline(unet=base.unet, vae=base.vae,
+                             emasc=base.emasc, scheduler=sched)
+        out = pipe.sample(
+            params,
+            image=jnp.zeros((1, H, W, 3)),
+            mask_image=jnp.ones((1, H, W, 1)),
+            pose_map=jnp.zeros((1, H, W, 18)),
+            warped_cloth=jnp.zeros((1, H, W, 3)),
+            prompt_embeds=jnp.zeros((1, 7, 64)),
+            negative_prompt_embeds=jnp.zeros((1, 7, 64)),
+            rng=rng,
+            num_inference_steps=4,
+            guidance_scale=7.5,
+        )
+        o = np.asarray(out)
+        assert o.shape == (1, H, W, 3) and np.isfinite(o).all()
+        assert 0.0 <= o.min() and o.max() <= 1.0
+        outs[name] = o
+    # different samplers must actually take different paths
+    assert np.abs(outs["ddim"] - outs["lms"]).max() > 1e-5
+    assert np.abs(outs["ddim"] - outs["pndm"]).max() > 1e-5
+
+
+def test_generate_images_driver_mesh_parity(tmp_path):
+    """Driver output is identical single-device vs sharded over an
+    8-device data-parallel mesh (reference DDP eval semantics,
+    src/inference.py:223) — pixel-level parity on the saved images."""
+    import os
+
+    from PIL import Image
+
+    from ladi_vton_tpu.core.mesh import MeshSpec, make_mesh
+    from ladi_vton_tpu.models.clip import CLIPTextConfig, CLIPTextModel
+    from ladi_vton_tpu.pipelines.drivers import (
+        generate_images_from_tryon_pipe,
+    )
+
+    pipe, params = _tiny_pipeline(with_emasc=True)
+    text_model = CLIPTextModel(CLIPTextConfig(
+        vocab_size=300, hidden_size=64, num_hidden_layers=1,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=8))
+    text_vars = text_model.init(jax.random.key(0),
+                                jnp.zeros((1, 8), jnp.int32))
+
+    class FakeTokenizer:
+        model_max_length = 8
+
+        def __call__(self, texts, **kw):
+            return np.zeros((len(texts), 8), np.int32)
+
+    rng = np.random.default_rng(0)
+    B = 8
+    batch = {
+        "image": rng.uniform(-1, 1, (B, H, W, 3)).astype(np.float32),
+        "inpaint_mask": np.ones((B, H, W, 1), np.float32),
+        "pose_map": np.zeros((B, H, W, 18), np.float32),
+        "warped_cloth": rng.uniform(-1, 1, (B, H, W, 3)).astype(
+            np.float32),
+        "im_name": [f"p{i}_0.jpg" for i in range(B)],
+        "category": ["upper_body"] * B,
+    }
+
+    def run(save_dir, mesh):
+        generate_images_from_tryon_pipe(
+            pipe, params, text_model, text_vars, FakeTokenizer(),
+            [batch], save_dir, text_usage="none", num_inference_steps=2,
+            use_png=True, mesh=mesh)
+
+    d1 = str(tmp_path / "single")
+    d8 = str(tmp_path / "mesh8")
+    run(d1, None)
+    run(d8, make_mesh(MeshSpec(data=8)))
+
+    for i in range(B):
+        a = np.asarray(Image.open(
+            os.path.join(d1, "upper_body", f"p{i}_0.png")), np.int32)
+        b = np.asarray(Image.open(
+            os.path.join(d8, "upper_body", f"p{i}_0.png")), np.int32)
+        # same program, same rng; sharding must not change the pixels
+        # (quantized to uint8, so allow the last bit of rounding)
+        assert np.abs(a - b).max() <= 1
+
+
+def test_extract_save_vae_images_driver(tmp_path):
+    """Stage-2 checkpoint artifact: VAE+EMASC recon dumps (reference
+    image_from_pipe.py:221-258) — wired into cli.train_emasc's
+    on_checkpoint."""
+    import os
+
+    from ladi_vton_tpu.models.emasc import EMASC
+    from ladi_vton_tpu.pipelines.drivers import extract_save_vae_images
+
+    vae = AutoencoderKL(TINY_VAE)
+    emasc = EMASC(in_channels=(32, 32, 32, 32, 64),
+                  out_channels=(32, 32, 64, 64, 64))
+    rng = jax.random.key(0)
+    vae_vars = vae.init(rng, jnp.zeros((1, H, W, 3)))
+    emasc_vars = emasc.init(rng, [
+        jnp.zeros((1, 8, 8, c)) for c in (32, 32, 32, 32, 64)])
+    batch = {
+        "image": np.zeros((2, H, W, 3), np.float32),
+        "im_mask": np.zeros((2, H, W, 3), np.float32),
+        "inpaint_mask": np.ones((2, H, W, 1), np.float32),
+        "im_name": ["x_0.jpg", "y_0.jpg"],
+        "category": ["lower_body", "lower_body"],
+    }
+    save_dir = str(tmp_path / "recon")
+    extract_save_vae_images(vae, vae_vars, emasc, emasc_vars, [batch],
+                            save_dir)
+    assert os.path.exists(os.path.join(save_dir, "lower_body", "x_0.jpg"))
+    assert os.path.exists(os.path.join(save_dir, "lower_body", "y_0.jpg"))
+
+
+def test_generate_images_inversion_adapter_driver(tmp_path):
+    """Stage-3 checkpoint artifact: adapter validation through the PLAIN
+    inpaint pipeline (reference image_from_pipe.py:139-218) — wired into
+    cli.train_inversion_adapter's on_checkpoint."""
+    import os
+
+    from ladi_vton_tpu.diffusion.schedulers import DDIMScheduler
+    from ladi_vton_tpu.models.clip import (
+        CLIPTextConfig,
+        CLIPTextModel,
+        CLIPVisionConfig,
+    )
+    from ladi_vton_tpu.models.inversion_adapter import InversionAdapter
+    from ladi_vton_tpu.models.unet_condition import UNet2DCondition, UNetConfig
+    from ladi_vton_tpu.pipelines.inpaint import (
+        InpaintPipeline,
+        generate_images_inversion_adapter,
+    )
+
+    rng = jax.random.key(0)
+    unet9 = UNet2DCondition(
+        UNetConfig(in_channels=9, block_out_channels=(32, 64, 64, 64),
+                   head_dim=8, cross_attention_dim=32), attn_impl="xla")
+    vae = AutoencoderKL(TINY_VAE)
+    text_model = CLIPTextModel(CLIPTextConfig(
+        vocab_size=300, hidden_size=32, num_hidden_layers=1,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=16))
+    vc = CLIPVisionConfig(hidden_size=16, num_hidden_layers=1,
+                          num_attention_heads=2, intermediate_size=32)
+    num_vstar = 2
+    adapter = InversionAdapter(input_dim=16, hidden_dim=32,
+                               output_dim=32 * num_vstar,
+                               num_encoder_layers=1, vision_config=vc)
+
+    params = {
+        "unet": unet9.init(rng, jnp.zeros((1, H // 8, W // 8, 9)),
+                           jnp.asarray([0]), jnp.zeros((1, 16, 32))),
+        "vae": vae.init(rng, jnp.zeros((1, H, W, 3))),
+    }
+    text_vars = text_model.init(rng, jnp.zeros((1, 16), jnp.int32))
+    adapter_vars = adapter.init(rng, jnp.zeros((1, 5, 16)))
+    pipe = InpaintPipeline(unet=unet9, vae=vae, scheduler=DDIMScheduler())
+
+    class FakeTokenizer:
+        model_max_length = 16
+
+        def __call__(self, texts, **kw):
+            ids = np.zeros((len(texts), 16), np.int32)
+            for i, t in enumerate(texts):
+                if "$" in t:
+                    ids[i, 4:4 + num_vstar] = 259
+            return ids
+
+    batch = {
+        "image": np.zeros((2, H, W, 3), np.float32),
+        "inpaint_mask": np.ones((2, H, W, 1), np.float32),
+        "cloth": np.zeros((2, H, W, 3), np.float32),
+        "clip_cloth_features": np.zeros((2, 5, 16), np.float32),
+        "im_name": ["m_0.jpg", "n_0.jpg"],
+        "category": ["dresses", "upper_body"],
+    }
+    save_dir = str(tmp_path / "adapter_val")
+    generate_images_inversion_adapter(
+        pipe, params, text_model, text_vars, FakeTokenizer(), adapter,
+        adapter_vars, None, None, [batch], save_dir,
+        num_vstar=num_vstar, num_inference_steps=2)
+    assert os.path.exists(os.path.join(save_dir, "dresses", "m_0.jpg"))
+    assert os.path.exists(os.path.join(save_dir, "upper_body", "n_0.jpg"))
