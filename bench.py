@@ -162,7 +162,7 @@ def _report_stages(pipe, params, args, B, total_dt):
         rng=args["rng"]))
     latents = den(params, prepared, e, e)
     t_den = timeit(lambda: den(params, prepared, e, e))
-    t_dec = timeit(lambda: dec(params, latents, intermediate))
+    t_dec = timeit(lambda: dec(params, latents, intermediate), iters=4)
     # analytic UNet FLOPs: ~0.575 TF per image-forward at 64x48 latents
     # (full conv/attn/ff accounting, docs/STATUS.md), CFG doubles it
     unet_flops = 0.575e12 * (2 * B) * 50

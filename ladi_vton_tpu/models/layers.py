@@ -208,8 +208,12 @@ class VAEAttention(nn.Module):
                      name="key")(h)
         v = nn.Dense(C, dtype=self.dtype, param_dtype=self.param_dtype,
                      name="value")(h)
+        # single head, D=C (512): the flash kernel still wins on TPU
+        # (3.45 vs 4.87 ms at S=3072 — tools/perf_probe6.py); 'auto'
+        # picks it per lowering platform
         out = dot_product_attention(
-            q[:, :, None, :], k[:, :, None, :], v[:, :, None, :], impl="xla"
+            q[:, :, None, :], k[:, :, None, :], v[:, :, None, :],
+            impl="auto"
         )[:, :, 0, :]
         out = nn.Dense(C, dtype=self.dtype, param_dtype=self.param_dtype,
                        name="proj_attn")(out)

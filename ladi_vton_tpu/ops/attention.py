@@ -75,8 +75,11 @@ def dot_product_attention(
             return flash_attention(
                 q, k, v, scale=scale,
                 interpret=jax.default_backend() != "tpu")
-        if causal:
-            return xla_attention(q, k, v, causal=True, scale=scale)
+        if causal or k.shape[1] <= 128:
+            # causal (CLIP text) and short-KV cross-attention (77 text
+            # tokens) run faster through XLA than the flash kernel
+            # (0.56 vs 0.88 ms at Sq=3072 — tools/perf_probe5.py)
+            return xla_attention(q, k, v, causal=causal, scale=scale)
         return jax.lax.platform_dependent(
             q, k, v,
             tpu=lambda q_, k_, v_: flash_attention(q_, k_, v_,

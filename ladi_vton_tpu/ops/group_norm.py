@@ -317,7 +317,14 @@ def group_norm(x, scale, bias, *, num_groups=32, eps=1e-6, act="none",
         return _gn_pallas_diff(x, scale, bias, num_groups, eps, act,
                                jax.default_backend() != "tpu")
     C = x.shape[-1]
-    if C < 128 or C % num_groups:
+    N = 1
+    for d in x.shape[1:-1]:
+        N *= d
+    # the single-pass kernel wins (one read + one write) whenever a
+    # batch element's slab fits VMEM; beyond that XLA's fused GN beats
+    # the two-pass tiled kernel (measured at VAE resolutions: 3.9 vs
+    # 5.7 ms at 128ch@512x384 — tools/perf_probe6.py)
+    if C < 128 or C % num_groups or N * C > _ONE_PASS_MAX_ELEMS:
         return xla_fn(x, scale, bias)
     return jax.lax.platform_dependent(
         x, scale, bias,

@@ -24,7 +24,7 @@ os.makedirs("/root/repo/.jax_cache", exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-B = 16
+B = int(os.environ.get("PROBE_B", "16"))
 DT = jnp.bfloat16
 PEAK = 197e12
 CHAIN = 20
@@ -124,10 +124,18 @@ def main():
         ctx = jnp.zeros((B, 77, 1024), DT)
         params = jax.jit(unet.init)(rng, sample[:1], t[:1], ctx[:1])
 
-        @jax.jit
-        def forward(params, sample, t, ctx):
+        def fwd(params, sample, t, ctx):
             return jnp.sum(unet.apply(params, sample, t, ctx).astype(
                 jnp.float32))
+
+        opts = os.environ.get("PROBE_COMPILER_OPTIONS")
+        if opts:
+            kv = dict(p.split("=", 1) for p in opts.split(","))
+            forward = (jax.jit(fwd)
+                       .lower(params, sample, t, ctx)
+                       .compile(compiler_options=kv))
+        else:
+            forward = jax.jit(fwd)
 
         np.asarray(forward(params, sample, t, ctx))
         t0 = time.perf_counter()
