@@ -189,8 +189,25 @@ def _apply_kernel(x_ref, mean_ref, rstd_ref, scale_ref, bias_ref, out_ref,
     out_ref[0] = out.astype(out_ref.dtype)
 
 
+def _largest_tile(n: int, c: int, target_bytes: int = 4 * 1024 * 1024,
+                  min_tile: int = 256) -> int:
+    """Largest divisor of ``n`` (multiple of 8) whose bf16 tile stays
+    under ``target_bytes`` — big tiles amortize per-grid-step DMA setup
+    (512-row tiles measured DMA-bound at VAE resolutions)."""
+    cap = max(min_tile, target_bytes // (c * 2))
+    best = 0
+    i = 1
+    while i * i <= n:
+        if n % i == 0:
+            for d in (i, n // i):
+                if d % 8 == 0 and d <= cap and d > best:
+                    best = d
+        i += 1
+    return best
+
+
 def group_norm_pallas(x, scale, bias, *, num_groups=32, eps=1e-6,
-                      act="silu", row_tile=512, interpret=False):
+                      act="silu", row_tile=None, interpret=False):
     """Fused GN[+SiLU] for NHWC (or (B, N, C)) inputs.
 
     Lanes hold channels; C need not be a multiple of 128 (Mosaic masks
@@ -205,11 +222,9 @@ def group_norm_pallas(x, scale, bias, *, num_groups=32, eps=1e-6,
         return _group_norm_pallas_one_pass(
             x, scale, bias, num_groups=num_groups, eps=eps, act=act,
             interpret=interpret)
-    T = min(row_tile, N)
-    if N % T:
-        # pad rows so tiles are uniform; padded rows are excluded from
-        # stats by correcting the count below only if padding is zero —
-        # instead just fall back to XLA for ragged shapes
+    T = row_tile if row_tile else _largest_tile(N, C)
+    if not T or N % T:
+        # uniform tiles only; ragged shapes take the oracle
         return group_norm_xla(x, scale, bias, num_groups=num_groups,
                               eps=eps, act=act)
     tiles = N // T
@@ -222,6 +237,8 @@ def group_norm_pallas(x, scale, bias, *, num_groups=32, eps=1e-6,
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, 2, C), lambda b, t: (b, 0, 0),
                                memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(xr)
 
@@ -253,6 +270,8 @@ def group_norm_pallas(x, scale, bias, *, num_groups=32, eps=1e-6,
         ],
         out_specs=pl.BlockSpec((1, T, C), lambda b, t: (b, t, 0),
                                memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(xr, mean_c, rstd_c,
       scale.reshape(1, C).astype(jnp.float32),

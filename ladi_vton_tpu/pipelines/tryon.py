@@ -125,14 +125,21 @@ class TryOnPipeline:
             pose_lat = jnp.zeros_like(pose_lat)
 
         if warped_cloth is not None:
-            moments, _ = self.vae.apply(params["vae"], warped_cloth,
-                                        method="encode")
-            cloth_latents = DiagonalGaussian(moments).sample(rng_cloth) * sf
+            # one batched encoder pass for cloth + masked image (the
+            # encoder weights stream from HBM once; feature taps are
+            # free captures, so the cloth half's are simply unused)
+            both = jnp.concatenate(
+                [warped_cloth.astype(masked_image.dtype), masked_image])
+            moments2, feats2 = self.vae.apply(params["vae"], both,
+                                              method="encode")
+            cloth_moments, moments = jnp.split(moments2, 2, axis=0)
+            feats = [f[B:] for f in feats2]
+            cloth_latents = (DiagonalGaussian(cloth_moments)
+                             .sample(rng_cloth) * sf)
         else:
             cloth_latents = None
-
-        moments, feats = self.vae.apply(params["vae"], masked_image,
-                                        method="encode")
+            moments, feats = self.vae.apply(params["vae"], masked_image,
+                                            method="encode")
         masked_latents = DiagonalGaussian(moments).sample(rng_masked) * sf
         mask_lat = resize_nearest(mask, (lh, lw))
 

@@ -183,3 +183,84 @@ def test_group_norm_silu_matches_flax_groupnorm_plus_silu():
     theirs = torch.nn.functional.silu(gn).permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(np.asarray(ours), theirs, rtol=1e-4,
                                atol=1e-5)
+
+
+def test_nearest_up2_conv3x3_matches_naive():
+    """The four-phase low-res decomposition is exactly the naive
+    repeat-2x + 3x3 conv (same products, reassociated)."""
+    from jax import lax
+
+    from ladi_vton_tpu.ops.upsample import nearest_up2_conv3x3
+
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((2, 5, 7, 8)).astype(np.float32)
+    k = rng.standard_normal((3, 3, 8, 6)).astype(np.float32)
+    b = rng.standard_normal(6).astype(np.float32)
+
+    up = np.repeat(np.repeat(x, 2, axis=1), 2, axis=2)
+    dn = lax.conv_dimension_numbers(up.shape, k.shape,
+                                    ("NHWC", "HWIO", "NHWC"))
+    naive = lax.conv_general_dilated(
+        jnp.asarray(up), jnp.asarray(k), window_strides=(1, 1),
+        padding=((1, 1), (1, 1)), dimension_numbers=dn) + b
+
+    fused = nearest_up2_conv3x3(jnp.asarray(x), jnp.asarray(k),
+                                jnp.asarray(b))
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(naive),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_nearest_up2_conv3x3_grad_flows():
+    from ladi_vton_tpu.ops.upsample import nearest_up2_conv3x3
+
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.standard_normal((1, 3, 3, 4)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((3, 3, 4, 4)).astype(np.float32))
+
+    def loss(x, k):
+        return jnp.sum(nearest_up2_conv3x3(x, k) ** 2)
+
+    gx, gk = jax.grad(loss, argnums=(0, 1))(x, k)
+    assert np.isfinite(np.asarray(gx)).all()
+    assert np.isfinite(np.asarray(gk)).all()
+
+
+def test_geglu_pallas_matches_xla():
+    from ladi_vton_tpu.ops.geglu import _geglu, geglu_xla
+
+    rng = np.random.default_rng(13)
+    C, I = 64, 256
+    x = jnp.asarray(rng.standard_normal((2, 40, C)).astype(np.float32))
+    w1 = jnp.asarray((rng.standard_normal((C, 2 * I)) * 0.05)
+                     .astype(np.float32))
+    b1 = jnp.asarray((rng.standard_normal(2 * I) * 0.1).astype(np.float32))
+    w2 = jnp.asarray((rng.standard_normal((I, C)) * 0.05)
+                     .astype(np.float32))
+    b2 = jnp.asarray((rng.standard_normal(C) * 0.1).astype(np.float32))
+    # block 32 over 80 rows exercises the row-padding path
+    ours = _geglu(x, w1, b1, w2, b2, 32, True)
+    ref = geglu_xla(x, w1, b1, w2, b2)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_geglu_grad_matches_oracle():
+    from ladi_vton_tpu.ops.geglu import _geglu, geglu_xla
+
+    rng = np.random.default_rng(14)
+    C, I = 32, 64
+    args = [
+        jnp.asarray(rng.standard_normal((1, 24, C)).astype(np.float32)),
+        jnp.asarray((rng.standard_normal((C, 2 * I)) * 0.1)
+                    .astype(np.float32)),
+        jnp.asarray((rng.standard_normal(2 * I) * 0.1).astype(np.float32)),
+        jnp.asarray((rng.standard_normal((I, C)) * 0.1).astype(np.float32)),
+        jnp.asarray((rng.standard_normal(C) * 0.1).astype(np.float32)),
+    ]
+    g_ours = jax.grad(lambda *a: jnp.sum(_geglu(*a, 32, True) ** 2),
+                      argnums=tuple(range(5)))(*args)
+    g_ref = jax.grad(lambda *a: jnp.sum(geglu_xla(*a) ** 2),
+                     argnums=tuple(range(5)))(*args)
+    for a, b in zip(g_ours, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
