@@ -136,13 +136,19 @@ def _report_stages(pipe, params, args, B, total_dt):
 
     import numpy as np
 
+    def sync(out):
+        # fetch ONE element (device-side reduce first): np.asarray on the
+        # full array would pull hundreds of MB through the relay and
+        # pollute the timing (decode's output alone is 75MB fp32)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(jnp.sum(leaf))
+
     def timeit(fn, iters=2):
-        out = fn()
-        np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+        sync(fn())
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn()
-        np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+        sync(out)
         return (time.perf_counter() - t0) / iters
 
     prep = jax.jit(pipe.prepare)
