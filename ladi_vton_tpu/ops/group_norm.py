@@ -107,9 +107,19 @@ def _one_pass_kernel(x_ref, scale_ref, bias_ref, gmap_ref, gmapt_ref,
 
 
 # the slab is normalized IN PLACE (input aliased to output) so VMEM
-# holds ~2 bf16 copies (double-buffered) + chunked fp32 temps; measured
-# ceiling: 1.97M-elem slabs compile, whole-VAE-resolution slabs do not
+# holds ~2 bf16 copies (double-buffered) + chunked fp32 temps.
+# Routing is by measured crossover (v5e, B=8 VAE shapes):
+#   <= 2.2M elems  : one-pass wins clearly (UNet-size slabs)
+#   ~6.3M (12.6MB) : XLA edges ahead (1.53 vs 1.68 ms at 512@128x96)
+#   ~12.6M (25MB)  : one-pass wins again (1.85 vs 2.42 ms at 256@256x192)
+#   ~25M (50MB)    : one-pass no longer compiles (scoped-VMEM OOM)
 _ONE_PASS_MAX_ELEMS = 2_200_000
+_ONE_PASS_BIG_BAND = (8_400_000, 16_000_000)
+
+
+def _one_pass_profitable(elems: int) -> bool:
+    lo, hi = _ONE_PASS_BIG_BAND
+    return elems <= _ONE_PASS_MAX_ELEMS or lo < elems <= hi
 
 
 def _row_chunk(n: int) -> int:
@@ -152,9 +162,10 @@ def _group_norm_pallas_one_pass(x, scale, bias, *, num_groups, eps, act,
                                memory_space=pltpu.VMEM),
         input_output_aliases={0: 0},  # normalize in place
         # the default 16MB scoped-VMEM budget rejects double-buffered
-        # 2M-element slabs; v5e has 128MB of VMEM — allow 48MB
+        # 2M-element slabs; v5e has 128MB of VMEM — allow 100MB so the
+        # 25MB VAE slabs (the profitable big band) fit too
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=48 * 1024 * 1024),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(xr, scale.reshape(1, C).astype(jnp.float32),
       bias.reshape(1, C).astype(jnp.float32), gmap, gmapt)
@@ -218,7 +229,7 @@ def group_norm_pallas(x, scale, bias, *, num_groups=32, eps=1e-6,
     B, C = x.shape[0], x.shape[-1]
     xr = x.reshape(B, -1, C)
     N = xr.shape[1]
-    if N * C <= _ONE_PASS_MAX_ELEMS:
+    if _one_pass_profitable(N * C):
         return _group_norm_pallas_one_pass(
             x, scale, bias, num_groups=num_groups, eps=eps, act=act,
             interpret=interpret)
@@ -339,11 +350,11 @@ def group_norm(x, scale, bias, *, num_groups=32, eps=1e-6, act="none",
     N = 1
     for d in x.shape[1:-1]:
         N *= d
-    # the single-pass kernel wins (one read + one write) whenever a
-    # batch element's slab fits VMEM; beyond that XLA's fused GN beats
-    # the two-pass tiled kernel (measured at VAE resolutions: 3.9 vs
-    # 5.7 ms at 128ch@512x384 — tools/perf_probe6.py)
-    if C < 128 or C % num_groups or N * C > _ONE_PASS_MAX_ELEMS:
+    # the single-pass kernel wins (one read + one write) in the
+    # measured bands above; elsewhere XLA's fused GN is faster (or the
+    # slab cannot compile) — see the crossover table at
+    # _ONE_PASS_MAX_ELEMS / _ONE_PASS_BIG_BAND
+    if C < 128 or C % num_groups or not _one_pass_profitable(N * C):
         return xla_fn(x, scale, bias)
     return jax.lax.platform_dependent(
         x, scale, bias,

@@ -60,7 +60,9 @@ def main():
     ap.add_argument("--batch_size", type=int, default=8)
     args = ap.parse_args()
 
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # must OVERWRITE: the axon environment exports JAX_PLATFORMS=axon
+    # globally, so setdefault would still pick the TPU backend
+    os.environ["JAX_PLATFORMS"] = "cpu"
     from ladi_vton_tpu.data import DressCodeDataset
     from ladi_vton_tpu.data.loader import BatchLoader
 
