@@ -446,3 +446,40 @@ def test_generate_images_inversion_adapter_driver(tmp_path):
         num_vstar=num_vstar, num_inference_steps=2)
     assert os.path.exists(os.path.join(save_dir, "dresses", "m_0.jpg"))
     assert os.path.exists(os.path.join(save_dir, "upper_body", "n_0.jpg"))
+
+
+def test_prepare_batched_encode_matches_separate():
+    """prepare() runs cloth + masked image through ONE batched encoder
+    pass; the moments/features must match two separate encodes, and the
+    latent sampling rng split must be unchanged."""
+    pipe, params = _tiny_pipeline(with_emasc=True)
+    rng_img = np.random.default_rng(3)
+    image = jnp.asarray(rng_img.standard_normal((2, H, W, 3)),
+                        jnp.float32)
+    mask = jnp.asarray(
+        (rng_img.uniform(size=(2, H, W, 1)) > 0.5).astype(np.float32))
+    cloth = jnp.asarray(rng_img.standard_normal((2, H, W, 3)),
+                        jnp.float32)
+    rng = jax.random.key(7)
+    prepared = pipe.prepare(params, image=image, mask_image=mask,
+                            pose_map=jnp.zeros((2, H, W, 18)),
+                            warped_cloth=cloth, rng=rng)
+
+    # oracle: the same math with two separate encoder calls
+    from ladi_vton_tpu.models.vae import DiagonalGaussian
+    from ladi_vton_tpu.pipelines.tryon import prepare_mask_and_masked_image
+
+    sf = pipe.vae.config.scaling_factor
+    _, rng_masked, rng_cloth = jax.random.split(rng, 3)
+    _, masked_image = prepare_mask_and_masked_image(image, mask)
+    m_cloth, _ = pipe.vae.apply(params["vae"], cloth, method="encode")
+    m_masked, feats = pipe.vae.apply(params["vae"], masked_image,
+                                     method="encode")
+    np.testing.assert_allclose(
+        np.asarray(prepared["cloth_latents"]),
+        np.asarray(DiagonalGaussian(m_cloth).sample(rng_cloth) * sf),
+        rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(prepared["masked_latents"]),
+        np.asarray(DiagonalGaussian(m_masked).sample(rng_masked) * sf),
+        rtol=1e-4, atol=1e-4)

@@ -1,0 +1,84 @@
+"""Perf probe 11: whole-UNet A/B of kernel routing choices.
+
+Standalone kernel probes ignore fusion-boundary effects: every pallas
+call forces layout copies and blocks XLA fusion across it (the trace
+shows 6.8 ms/step of copies + 22.8 ms/step inside pallas).  The only
+honest comparison is the full UNet step.  Variants:
+
+  base         current routing (pallas GN one-pass, flash attn, geglu@640)
+  gn-xla       GroupNorm forced to XLA everywhere
+  geglu-xla    GEGLU forced to XLA everywhere
+  both-xla     both forced to XLA
+
+Run: python -m tools.perf_probe11
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+B, DT, PEAK = 16, jnp.bfloat16, 197e12
+
+import ladi_vton_tpu.ops.geglu as geglu_mod
+import ladi_vton_tpu.ops.group_norm as gn_mod
+from ladi_vton_tpu.models.unet_condition import (
+    UNet2DCondition,
+    sd2_unet_config,
+)
+
+_orig_gn = gn_mod.group_norm
+_orig_geglu = geglu_mod.geglu
+
+
+def set_variant(gn_xla: bool, geglu_xla: bool):
+    gn_mod.group_norm = (functools.partial(_orig_gn, impl="xla")
+                         if gn_xla else _orig_gn)
+    geglu_mod.geglu = (geglu_mod.geglu_xla if geglu_xla else _orig_geglu)
+
+
+def time_unet():
+    unet = UNet2DCondition(sd2_unet_config(31), dtype=DT)
+    rng = jax.random.key(0)
+    sample = jnp.zeros((B, 64, 48, 31), DT)
+    t = jnp.full((B,), 981, jnp.int32)
+    ctx = jnp.zeros((B, 77, 1024), DT)
+    params = jax.jit(unet.init)(rng, sample[:1], t[:1], ctx[:1])
+
+    @jax.jit
+    def fwd(params, sample, t, ctx):
+        return jnp.sum(unet.apply(params, sample, t, ctx).astype(
+            jnp.float32))
+
+    np.asarray(fwd(params, sample, t, ctx))
+    t0 = time.perf_counter()
+    for _ in range(10):
+        out = fwd(params, sample, t, ctx)
+    np.asarray(out)
+    return (time.perf_counter() - t0) / 10
+
+
+def main():
+    print("devices:", jax.devices(), flush=True)
+    for name, gn_xla, gg_xla in [("base", False, False),
+                                 ("gn-xla", True, False),
+                                 ("geglu-xla", False, True),
+                                 ("both-xla", True, True)]:
+        set_variant(gn_xla, gg_xla)
+        dt = time_unet()
+        mfu = 0.575e12 * B / dt / PEAK
+        print(f"{name:10s} {dt*1e3:7.2f} ms  mfu {mfu*100:5.1f}%",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
