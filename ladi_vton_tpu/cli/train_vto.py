@@ -77,6 +77,10 @@ def parse_args(argv=None):
     p.add_argument("--clip_vision_dir", type=str, required=False)
     p.add_argument("--tokenizer_dir", type=str, default=None)
     p.add_argument("--caption_file", type=str, default=None)
+    p.add_argument("--shard_optimizer_states", action="store_true",
+                   help="ZeRO-1: shard Adam moments over the data mesh "
+                        "axis (saves ~7GB/chip for the 0.87B UNet); "
+                        "numerically identical to replicated DDP")
     return p.parse_args(argv)
 
 
@@ -233,11 +237,18 @@ def main(argv=None):
 
     mesh = make_mesh(MeshSpec())
     with mesh:
-        jitted, shard_batch = shard_step(step_fn, mesh)
+        jitted, shard_batch = shard_step(
+            step_fn, mesh, state=state,
+            zero1=args.shard_optimizer_states)
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         repl = NamedSharding(mesh, P())
-        state = jax.device_put(state, repl)
+        if args.shard_optimizer_states:
+            from ladi_vton_tpu.train.steps import zero1_state_sharding
+
+            state = jax.device_put(state, zero1_state_sharding(state, mesh))
+        else:
+            state = jax.device_put(state, repl)
         frozen = jax.device_put(frozen, repl)
 
         ckpt = CheckpointManager(args.output_dir, keep=2)

@@ -263,16 +263,71 @@ def make_emasc_train_step(*, vae, emasc, vgg, int_layers=(1, 2, 3, 4, 5),
     return step
 
 
-def shard_step(step_fn: Callable, mesh) -> tuple[Callable, Callable]:
+def _zero1_leaf_spec(shape, n_shards: int):
+    """PartitionSpec sharding the LARGEST mesh-divisible axis on
+    ``data`` (replicated when nothing divides — scalars, tiny axes)."""
+    from jax.sharding import PartitionSpec as P
+
+    best_ax, best_size = None, 0
+    for ax, size in enumerate(shape):
+        if size % n_shards == 0 and size > best_size:
+            best_ax, best_size = ax, size
+    if best_ax is None:
+        return P()
+    spec = [None] * len(shape)
+    spec[best_ax] = "data"
+    return P(*spec)
+
+
+def zero1_state_sharding(state, mesh):
+    """ZeRO-1-style sharding tree for a TrainState: parameters stay
+    replicated (every chip needs them each forward), optimizer state
+    (the Adam moments — 2x the parameter bytes in fp32) is sharded over
+    the ``data`` axis.  Under jit, XLA's SPMD partitioner turns the
+    optimizer update into a sharded computation with a reduce-scatter /
+    all-gather pair riding ICI — the scaling trick the reference's
+    accelerate-DDP setup (src/train_vto.py:434-442) has no equivalent
+    for.  For the 0.87B-param extended UNet this moves ~7 GB of Adam
+    state off every chip on a v5e-8.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n = mesh.devices.size
+    repl = NamedSharding(mesh, P())
+
+    def leaf(x):
+        return NamedSharding(mesh, _zero1_leaf_spec(x.shape, n))
+
+    return state.replace(
+        step=repl,
+        params=jax.tree_util.tree_map(lambda x: repl, state.params),
+        opt_state=jax.tree_util.tree_map(leaf, state.opt_state),
+    )
+
+
+def shard_step(step_fn: Callable, mesh, *, state=None,
+               zero1: bool = False) -> tuple[Callable, Callable]:
     """jit a step over a mesh: batch data-sharded, params replicated.
 
     XLA turns the mean-loss gradient into a ``psum`` over the ``data``
     axis — the DDP/NCCL all-reduce equivalent, riding ICI.
+
+    ``zero1=True`` (requires the concrete ``state``) additionally
+    shards the optimizer state across the data axis
+    (``zero1_state_sharding``); pass the returned sharding to
+    ``jax.device_put(state, ...)`` or let the jitted step reshard on
+    first call.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))  # leading axis sharded
+
+    state_sharding = repl
+    if zero1:
+        if state is None:
+            raise ValueError("zero1=True needs the concrete state")
+        state_sharding = zero1_state_sharding(state, mesh)
 
     def shard_batch_tree(tree):
         return jax.tree_util.tree_map(
@@ -280,8 +335,8 @@ def shard_step(step_fn: Callable, mesh) -> tuple[Callable, Callable]:
 
     jitted = jax.jit(
         step_fn,
-        in_shardings=(repl, repl, data, repl),
-        out_shardings=(repl, repl),
+        in_shardings=(state_sharding, repl, data, repl),
+        out_shardings=(state_sharding, repl),
         donate_argnums=(0,),
     )
     return jitted, shard_batch_tree
