@@ -1,0 +1,79 @@
+"""Synthesize metric-network checkpoints (random init) in the torch
+layouts `metrics.compute` loads — pytorch-fid InceptionV3 and
+lpips-package AlexNet — so the FID/KID/IS/SSIM/LPIPS path is drivable
+end-to-end without downloads.  Real weights drop into the same files.
+
+Writes  <out>/inception.pth  and  <out>/lpips_alex.pth
+(default out: /tmp/weights/metrics; point LADI_VTON_METRIC_WEIGHTS at it).
+"""
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+out = Path(sys.argv[1] if len(sys.argv) > 1 else "/tmp/weights/metrics")
+out.mkdir(parents=True, exist_ok=True)
+rng = jax.random.key(0)
+
+# ---- InceptionV3: init the flax model, emit torchvision-layout keys
+from ladi_vton_tpu.metrics.inception import InceptionV3
+
+model = InceptionV3(fid_variant=True)
+variables = jax.jit(model.init)(rng, jnp.zeros((1, 299, 299, 3)))
+params = variables["params"]
+stats = variables.get("batch_stats", {})
+
+state = {}
+
+
+def walk(tree, stat_tree, path):
+    if isinstance(tree, dict) and "conv" in tree and "bn" in tree:
+        mod = ".".join(path)
+        k = np.asarray(tree["conv"]["kernel"])  # HWIO
+        state[mod + ".conv.weight"] = torch.from_numpy(
+            np.ascontiguousarray(k.transpose(3, 2, 0, 1)))
+        bn = tree["bn"]
+        sbn = stat_tree.get("bn", {}) if isinstance(stat_tree, dict) else {}
+        state[mod + ".bn.weight"] = torch.from_numpy(
+            np.asarray(bn["scale"]))
+        state[mod + ".bn.bias"] = torch.from_numpy(np.asarray(bn["bias"]))
+        state[mod + ".bn.running_mean"] = torch.from_numpy(
+            np.asarray(sbn.get("mean", np.zeros_like(bn["bias"]))))
+        state[mod + ".bn.running_var"] = torch.from_numpy(
+            np.asarray(sbn.get("var", np.ones_like(bn["bias"]))))
+        return
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            walk(v, stat_tree.get(k, {}) if isinstance(stat_tree, dict)
+                 else {}, path + [k])
+
+
+walk(params, stats, [])
+if "fc" in params:
+    state["fc.weight"] = torch.from_numpy(
+        np.asarray(params["fc"]["kernel"]).T.copy())
+    state["fc.bias"] = torch.from_numpy(np.asarray(params["fc"]["bias"]))
+torch.save(state, out / "inception.pth")
+print(f"inception.pth: {len(state)} tensors")
+
+# ---- LPIPS(Alex): alexnet feature convs + linear heads
+g = np.random.default_rng(0)
+shapes = [(64, 3, 11, 11), (192, 64, 5, 5), (384, 192, 3, 3),
+          (256, 384, 3, 3), (256, 256, 3, 3)]
+tv_idx = (0, 3, 6, 8, 10)
+lp = {}
+for (o, i, kh, kw), ti in zip(shapes, tv_idx):
+    lp[f"net.features.{ti}.weight"] = torch.from_numpy(
+        (g.standard_normal((o, i, kh, kw)) * 0.02).astype(np.float32))
+    lp[f"net.features.{ti}.bias"] = torch.from_numpy(
+        np.zeros((o,), np.float32))
+for i, c in enumerate((64, 192, 384, 256, 256)):
+    lp[f"lins.{i}.model.1.weight"] = torch.from_numpy(
+        np.abs(g.standard_normal((1, c, 1, 1))).astype(np.float32) * 0.1)
+torch.save(lp, out / "lpips_alex.pth")
+print(f"lpips_alex.pth: {len(lp)} tensors -> {out}")
