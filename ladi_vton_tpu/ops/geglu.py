@@ -5,7 +5,7 @@ Transformer2DModel; our module is ``models.layers.FeedForwardGEGLU``)
 expands to 2*4*C channels, gates, and projects back.  XLA materializes
 the (rows, 8C) projection in HBM between the two matmuls — at the UNet's
 level-0 shape (rows = 16*3072, C = 320) that is ~500 MB of round-trip
-traffic and the measured op runs at ~30% MFU (tools/perf_probe5.py).
+traffic and the measured op runs at ~30% MFU (tools/perf.py transformer-internals; docs/PERF.md §1).
 
 This kernel tiles over row blocks and keeps both weight matrices
 resident in VMEM: per block it computes the expansion, the exact-erf
@@ -140,8 +140,9 @@ def geglu(x, w1, b1, w2, b2, *, block_r: int | None = None,
     if impl == "pallas":
         return _geglu(x, w1, b1, w2, b2, block_r,
                       jax.default_backend() != "tpu")
-    # measured (tools/perf_probe9): the fused kernel only beats XLA at
-    # the level-1 width (C=640); elsewhere the matmuls are the limit,
+    # measured (tools/perf.py geglu (docs/PERF.md §3)): the fused kernel only beats XLA at
+    # the level-1 width (C=640) — docs/PERF.md §3; elsewhere the
+    # matmuls are the limit,
     # not the HBM round-trip, and XLA ties or edges ahead
     if x.shape[-1] != 640:
         return geglu_xla(x, w1, b1, w2, b2)

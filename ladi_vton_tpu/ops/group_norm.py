@@ -108,7 +108,8 @@ def _one_pass_kernel(x_ref, scale_ref, bias_ref, gmap_ref, gmapt_ref,
 
 # the slab is normalized IN PLACE (input aliased to output) so VMEM
 # holds ~2 bf16 copies (double-buffered) + chunked fp32 temps.
-# Routing is by measured crossover (v5e, B=8 VAE shapes):
+# Routing is by measured crossover (v5e, B=8 VAE shapes; durable
+# record: docs/PERF.md §2):
 #   <= 2.2M elems  : one-pass wins clearly (UNet-size slabs)
 #   ~6.3M (12.6MB) : XLA edges ahead (1.53 vs 1.68 ms at 512@128x96)
 #   ~12.6M (25MB)  : one-pass wins again (1.85 vs 2.42 ms at 256@256x192)

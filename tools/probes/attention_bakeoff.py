@@ -6,7 +6,7 @@ couple of its block configs) vs plain XLA, at every attention site:
   level2 (16, 20, 192, 64), mid (16, 20, 48, 64),
   VAE mid single-head (8, 1, 3072, 512).
 
-Run: python -m tools.perf_probe8
+Run: python tools/perf.py attention-bakeoff
 """
 
 from __future__ import annotations

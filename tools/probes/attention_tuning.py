@@ -5,7 +5,7 @@ probe2 showed at ~11% MFU.  Chains 20 attention calls inside ONE
 jitted program (output feeds the next query) so the ~3 ms relay
 dispatch floor amortizes away.
 
-Run: python -m tools.perf_probe3
+Run: python tools/perf.py attention-tuning
 """
 
 from __future__ import annotations

@@ -6,7 +6,7 @@ fused GroupNorm+SiLU, resnet blocks and transformer blocks at every
 UNet level — then re-times the full UNet forward with the retuned
 flash-attention blocks.
 
-Run: python -m tools.perf_probe4 [--skip-unet]
+Run: python tools/perf.py chained-components [--skip-unet]
 """
 
 from __future__ import annotations

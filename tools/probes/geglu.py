@@ -3,7 +3,7 @@
 Shapes (rows = B*S): level0 (16*3072, 320), level1 (16*768, 640),
 level2 (16*192, 1280), mid (16*48, 1280).
 
-Run: python -m tools.perf_probe9
+Run: python tools/perf.py geglu
 """
 
 from __future__ import annotations

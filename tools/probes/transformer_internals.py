@@ -5,7 +5,7 @@ Times each sub-part chained to find the rest: GN, proj_in/out, the
 LayerNorms, QKV/out denses (split vs fused), GEGLU FF, cross-attention
 (flash vs XLA at Sk=77).
 
-Run: python -m tools.perf_probe5
+Run: python tools/perf.py transformer-internals
 """
 
 from __future__ import annotations

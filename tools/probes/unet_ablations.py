@@ -6,7 +6,7 @@ param dtype — and (b) the pipeline stages (prep / 50-step scan /
 decode).  Host-side timing only (device profiling is unavailable through
 the axon relay), serialized by fetching one scalar.
 
-Usage: python tools/perf_probe.py [--skip-stages]
+Usage: python tools/perf.py unet-ablations [--skip-stages]
 """
 
 from __future__ import annotations

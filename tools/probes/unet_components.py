@@ -4,7 +4,7 @@ Times each building block at its real shapes (CFG batch 16, SD-2 widths)
 and multiplies by per-forward counts to reconstruct where the 126 ms
 goes.  Also measures the relay dispatch floor.
 
-Run: python -m tools.perf_probe2
+Run: python tools/perf.py unet-components
 """
 
 from __future__ import annotations

@@ -10,7 +10,7 @@ honest comparison is the full UNet step.  Variants:
   geglu-xla    GEGLU forced to XLA everywhere
   both-xla     both forced to XLA
 
-Run: python -m tools.perf_probe11
+Run: python tools/perf.py unet-routing-ab
 """
 
 from __future__ import annotations

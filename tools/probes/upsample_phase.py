@@ -3,7 +3,7 @@
 Sites: VAE decoder upsamples (512@64x48, 512@128x96, 256@256x192, B=8)
 and UNet up-path upsamples (1280@8x6, 1280@16x12, 640@32x24, B=16).
 
-Run: python -m tools.perf_probe7
+Run: python tools/perf.py upsample-phase
 """
 
 from __future__ import annotations

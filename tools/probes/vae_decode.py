@@ -4,7 +4,7 @@ bench stages show decode at 566 ms vs ~50 ms analytic ideal.  Times the
 full decode, the high-resolution GroupNorms (two-pass tiled path),
 high-res convs, the mid-block attention, and upsample copies.
 
-Run: python -m tools.perf_probe6
+Run: python tools/perf.py vae-decode
 """
 
 from __future__ import annotations
