@@ -204,7 +204,7 @@ class Upsample2D(nn.Module):
         B, H, W, C = x.shape
         kernel, bias = _ConvParams((3, 3, C, self.out_channels),
                                    self.param_dtype, name="conv")()
-        # measured (tools/perf_probe7): the phase decomposition wins
+        # measured (tools/perf.py upsample-phase (docs/PERF.md §4)): the phase decomposition wins
         # 20-35% at C>=512 sites but loses at wide-spatial low-C ones
         # (256ch@256x192: interleave cost beats the FLOP saving)
         if C >= 512:
@@ -243,7 +243,7 @@ class VAEAttention(nn.Module):
         v = nn.Dense(C, dtype=self.dtype, param_dtype=self.param_dtype,
                      name="value")(h)
         # single head, D=C (512): the flash kernel still wins on TPU
-        # (3.45 vs 4.87 ms at S=3072 — tools/perf_probe6.py); 'auto'
+        # (3.45 vs 4.87 ms at S=3072 — tools/perf.py vae-decode; docs/PERF.md §1); 'auto'
         # picks it per lowering platform
         out = dot_product_attention(
             q[:, :, None, :], k[:, :, None, :], v[:, :, None, :],
@@ -254,8 +254,33 @@ class VAEAttention(nn.Module):
         return x + out.reshape(B, H, W, C)
 
 
+class _DenseParams(nn.Module):
+    """Parameter-only holder matching nn.Dense's tree layout."""
+
+    shape: tuple
+    use_bias: bool = True
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            self.shape, self.param_dtype)
+        bias = (self.param("bias", nn.initializers.zeros,
+                           (self.shape[-1],), self.param_dtype)
+                if self.use_bias else None)
+        return kernel, bias
+
+
 class CrossAttention(nn.Module):
-    """Multi-head attention; self when ``context`` is None."""
+    """Multi-head attention; self when ``context`` is None.
+
+    ``attn_impl="bhsd"``: head-major layout — the head split/merge
+    transposes are folded INTO the q/k/v and output projections as
+    einsums (``bsc,chd->bhsd``), so the flash kernel's (B*H, S, D)
+    operands come straight out of the matmuls with no relayout copy in
+    between (the device trace showed 6.8 ms/step of layout copies —
+    docs/PERF.md §6).  Parameter tree is identical to the plain path.
+    """
 
     num_heads: int
     head_dim: int
@@ -268,6 +293,33 @@ class CrossAttention(nn.Module):
     def __call__(self, x: jax.Array, context: Optional[jax.Array] = None) -> jax.Array:
         context = x if context is None else context
         inner = self.num_heads * self.head_dim
+        H, D = self.num_heads, self.head_dim
+        if self.attn_impl == "bhsd" and context.shape[1] > 128:
+            cd = lambda a: a.astype(self.dtype)
+            wq, _ = _DenseParams((x.shape[-1], inner), use_bias=False,
+                                 param_dtype=self.param_dtype,
+                                 name="to_q")()
+            wk, _ = _DenseParams((context.shape[-1], inner),
+                                 use_bias=False,
+                                 param_dtype=self.param_dtype,
+                                 name="to_k")()
+            wv, _ = _DenseParams((context.shape[-1], inner),
+                                 use_bias=False,
+                                 param_dtype=self.param_dtype,
+                                 name="to_v")()
+            wo, bo = _DenseParams((inner, self.out_dim),
+                                  param_dtype=self.param_dtype,
+                                  name="to_out")()
+            q = jnp.einsum("bsc,chd->bhsd", cd(x),
+                           cd(wq).reshape(-1, H, D))
+            k = jnp.einsum("bsc,chd->bhsd", cd(context),
+                           cd(wk).reshape(-1, H, D))
+            v = jnp.einsum("bsc,chd->bhsd", cd(context),
+                           cd(wv).reshape(-1, H, D))
+            out = dot_product_attention(q, k, v, impl="auto", bhsd=True)
+            return (jnp.einsum("bhsd,hdc->bsc", out,
+                               cd(wo).reshape(H, D, self.out_dim))
+                    + cd(bo))
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype,
                      param_dtype=self.param_dtype, name="to_q")(x)
         k = nn.Dense(inner, use_bias=False, dtype=self.dtype,
@@ -276,10 +328,11 @@ class CrossAttention(nn.Module):
                      param_dtype=self.param_dtype, name="to_v")(context)
         B, Sq, _ = q.shape
         Sk = k.shape[1]
+        impl = "auto" if self.attn_impl == "bhsd" else self.attn_impl
         q = q.reshape(B, Sq, self.num_heads, self.head_dim)
         k = k.reshape(B, Sk, self.num_heads, self.head_dim)
         v = v.reshape(B, Sk, self.num_heads, self.head_dim)
-        out = dot_product_attention(q, k, v, impl=self.attn_impl)
+        out = dot_product_attention(q, k, v, impl=impl)
         out = out.reshape(B, Sq, inner)
         return nn.Dense(self.out_dim, dtype=self.dtype,
                         param_dtype=self.param_dtype, name="to_out")(out)

@@ -169,7 +169,11 @@ class UNet2DCondition(nn.Module):
     """The denoiser: (sample NHWC, timesteps, encoder_hidden_states) -> eps."""
 
     config: UNetConfig = UNetConfig()
-    attn_impl: str = "auto"
+    # "bhsd" folds head split/merge transposes into the projection
+    # einsums (measured 81.1 vs 82.3 ms/step on the CFG-16 UNet step —
+    # tools/perf.py attention-layout; docs/PERF.md §6); short-KV
+    # cross-attention still routes through XLA as before.
+    attn_impl: str = "bhsd"
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 

@@ -57,6 +57,7 @@ def dot_product_attention(
     causal: bool = False,
     scale: Optional[float] = None,
     impl: str = "auto",
+    bhsd: bool = False,
 ) -> jax.Array:
     """Dispatch: Pallas flash kernel on TPU (non-causal), XLA otherwise.
 
@@ -65,26 +66,42 @@ def dot_product_attention(
     at trace time, so a computation pinned to CPU devices (virtual-mesh
     dryruns) takes the XLA path even when a TPU backend exists, and a
     broken TPU runtime is never touched from host-side dispatch.
+
+    ``bhsd=True``: tensors are head-major (B, H, S, D) — straight out
+    of a projection einsum, so the flash path needs no relayout; the
+    XLA oracle path transposes internally (numerics only).
     """
+
+    def xla_any(q_, k_, v_):
+        if bhsd:
+            perm = (0, 2, 1, 3)
+            return jnp.transpose(
+                xla_attention(jnp.transpose(q_, perm),
+                              jnp.transpose(k_, perm),
+                              jnp.transpose(v_, perm),
+                              causal=causal, scale=scale), perm)
+        return xla_attention(q_, k_, v_, causal=causal, scale=scale)
+
     if impl == "xla":
-        return xla_attention(q, k, v, causal=causal, scale=scale)
+        return xla_any(q, k, v)
     if impl in ("auto", "pallas"):
         from ladi_vton_tpu.ops.flash_attention import flash_attention
 
         if impl == "pallas":  # forced (tests): interpret off-TPU
             return flash_attention(
-                q, k, v, scale=scale,
+                q, k, v, scale=scale, bhsd=bhsd,
                 interpret=jax.default_backend() != "tpu")
-        if causal or k.shape[1] <= 128:
+        kv_seq = k.shape[2] if bhsd else k.shape[1]
+        if causal or kv_seq <= 128:
             # causal (CLIP text) and short-KV cross-attention (77 text
             # tokens) run faster through XLA than the flash kernel
-            # (0.56 vs 0.88 ms at Sq=3072 — tools/perf_probe5.py)
-            return xla_attention(q, k, v, causal=causal, scale=scale)
+            # (0.56 vs 0.88 ms at Sq=3072 — tools/perf.py transformer-internals; docs/PERF.md §1)
+            return xla_any(q, k, v)
         return jax.lax.platform_dependent(
             q, k, v,
             tpu=lambda q_, k_, v_: flash_attention(q_, k_, v_,
-                                                   scale=scale),
-            default=lambda q_, k_, v_: xla_attention(q_, k_, v_,
-                                                     scale=scale),
+                                                   scale=scale,
+                                                   bhsd=bhsd),
+            default=xla_any,
         )
     raise ValueError(f"unknown attention impl: {impl!r}")

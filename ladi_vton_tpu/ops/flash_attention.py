@@ -75,15 +75,24 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int, block_k: int,
 
 
 def _flash_fwd_impl(q, k, v, scale: float, block_q: int, block_k: int,
-                    interpret: bool) -> jax.Array:
-    B, Sq, H, D = q.shape
-    Sk = k.shape[1]
+                    interpret: bool, bhsd: bool = False) -> jax.Array:
+    if bhsd:
+        B, H, Sq, D = q.shape
+        Sk = k.shape[2]
+    else:
+        B, Sq, H, D = q.shape
+        Sk = k.shape[1]
     sqp = _round_up(Sq, block_q)
     skp = _round_up(Sk, block_k)
 
-    # (B, S, H, D) -> (B*H, S, D); pad sequence to block multiples
+    # -> (B*H, S, D); pad sequence to block multiples.  In bhsd mode
+    # the reshape is layout-free (no transpose): the caller produced
+    # q/k/v head-major straight out of the projection einsum, so XLA
+    # emits no relayout copy before the kernel.
     def fold(x, sp):
-        x = jnp.swapaxes(x, 1, 2).reshape(B * H, x.shape[1], D)
+        if not bhsd:
+            x = jnp.swapaxes(x, 1, 2)
+        x = x.reshape(B * H, x.shape[2], D)
         if sp != x.shape[1]:
             x = jnp.pad(x, ((0, 0), (0, sp - x.shape[1]), (0, 0)))
         return x
@@ -113,22 +122,35 @@ def _flash_fwd_impl(q, k, v, scale: float, block_q: int, block_k: int,
     )(qf, kf, vf)
 
     out = out[:, :Sq].reshape(B, H, Sq, D)
+    if bhsd:
+        return out
     return jnp.swapaxes(out, 1, 2)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _flash(q, k, v, scale, block_q, block_k, interpret):
-    return _flash_fwd_impl(q, k, v, scale, block_q, block_k, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash(q, k, v, scale, block_q, block_k, interpret, bhsd=False):
+    return _flash_fwd_impl(q, k, v, scale, block_q, block_k, interpret,
+                           bhsd)
 
 
-def _flash_fwd(q, k, v, scale, block_q, block_k, interpret):
-    return _flash_fwd_impl(q, k, v, scale, block_q, block_k, interpret), (q, k, v)
+def _flash_fwd(q, k, v, scale, block_q, block_k, interpret, bhsd=False):
+    return (_flash_fwd_impl(q, k, v, scale, block_q, block_k, interpret,
+                            bhsd), (q, k, v))
 
 
-def _flash_bwd(scale, block_q, block_k, interpret, res, g):
+def _flash_bwd(scale, block_q, block_k, interpret, bhsd, res, g):
     q, k, v = res
-    _, vjp = jax.vjp(lambda q_, k_, v_: xla_attention(q_, k_, v_, scale=scale),
-                     q, k, v)
+
+    def oracle(q_, k_, v_):
+        if bhsd:
+            perm = (0, 2, 1, 3)
+            return jnp.transpose(
+                xla_attention(jnp.transpose(q_, perm),
+                              jnp.transpose(k_, perm),
+                              jnp.transpose(v_, perm), scale=scale), perm)
+        return xla_attention(q_, k_, v_, scale=scale)
+
+    _, vjp = jax.vjp(oracle, q, k, v)
     return vjp(g)
 
 
@@ -144,18 +166,24 @@ def flash_attention(
     block_q: int = 512,
     block_k: Optional[int] = None,
     interpret: bool = False,
+    bhsd: bool = False,
 ) -> jax.Array:
     """Flash attention over (B, S, H, D) tensors. Non-causal.
 
+    ``bhsd=True`` takes/returns (B, H, S, D) head-major tensors —
+    produced directly by a projection einsum — so no transpose (and no
+    XLA relayout copy) sits between the matmuls and the kernel.
+
     Default blocks are tuned for the UNet's hot shape (Sq=Sk=3072,
-    D=64, measured on v5e — tools/perf_probe3.py): q-blocks of 512 and
+    D=64, measured on v5e — tools/perf.py attention-tuning; docs/PERF.md §1): q-blocks of 512 and
     the FULL KV slice per block when it fits VMEM (<= 4096 rows), which
     skips the online-softmax rescale chain entirely inside the loop.
     (256, 256) ran at 13% MFU; (512, full) at 32%.
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    Sq, Sk = q.shape[1], k.shape[1]
+    Sq = q.shape[2] if bhsd else q.shape[1]
+    Sk = k.shape[2] if bhsd else k.shape[1]
     skp = _round_up(Sk, 128)
     if block_k is None:
         # full-KV single pass when the score tile stays within VMEM;
@@ -163,4 +191,5 @@ def flash_attention(
         block_k = skp if skp <= 4096 else 1024
     block_q = min(block_q, _round_up(Sq, 128))
     block_k = min(block_k, skp)
-    return _flash(q, k, v, float(scale), block_q, block_k, interpret)
+    return _flash(q, k, v, float(scale), block_q, block_k, interpret,
+                  bhsd)

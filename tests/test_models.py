@@ -295,3 +295,35 @@ def test_vto_grad_accumulation_equivalence():
     for e, g in zip(flat_e, flat_g):
         np.testing.assert_allclose(np.asarray(g), np.asarray(e),
                                    atol=1e-5, rtol=1e-4)
+
+
+def test_cross_attention_bhsd_layout_matches_plain():
+    """attn_impl='bhsd' (head-major einsum projections, no relayout
+    transposes around the flash kernel — docs/PERF.md §6) is numerically
+    identical to the plain BSHD path; param trees are interchangeable."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ladi_vton_tpu.models.layers import CrossAttention
+
+    rng = np.random.default_rng(0)
+    # S > 128 so the bhsd branch engages (short-KV keeps the XLA path)
+    x = jnp.asarray(rng.standard_normal((2, 160, 24)).astype(np.float32))
+    plain = CrossAttention(num_heads=3, head_dim=8, out_dim=24,
+                           attn_impl="xla")
+    bhsd = CrossAttention(num_heads=3, head_dim=8, out_dim=24,
+                          attn_impl="bhsd")
+    variables = plain.init(jax.random.key(0), x)
+    # identical param tree: bhsd applies the same checkpoint
+    a = plain.apply(variables, x)
+    b = bhsd.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=2e-5, rtol=2e-5)
+
+    # cross-attention (short context) falls back to the plain path
+    ctx = jnp.asarray(rng.standard_normal((2, 7, 24)).astype(np.float32))
+    a = plain.apply(variables, x, ctx)
+    b = bhsd.apply(variables, x, ctx)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=2e-5, rtol=2e-5)
