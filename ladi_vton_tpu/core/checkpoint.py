@@ -88,8 +88,14 @@ class CheckpointManager:
                 f"no checkpoint-{step} under {self.directory}")
         import jax
 
+        # Carry each array's sharding into the abstract target: orbax
+        # then restores every leaf directly onto its mesh placement
+        # (ZeRO-1 sharded optimizer states land shard-wise, no
+        # replicated staging copy and no "sharding info not provided"
+        # fallback-to-file warning).
         abstract = jax.tree_util.tree_map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                           sharding=x.sharding)
             if isinstance(x, jax.Array) else x, state)
         jax.tree_util.tree_map(
             lambda x: x.delete() if isinstance(x, jax.Array) else None,
