@@ -82,6 +82,7 @@ def main(argv=None):
     from ladi_vton_tpu.train.runner import (
         LoopConfig,
         Trackers,
+        run_checkpoint_validation,
         setup_logging,
         train_loop,
     )
@@ -160,11 +161,11 @@ def main(argv=None):
                     state.params["emasc"])["params"]},
                 Path(args.output_dir) / f"emasc_{step}.pth")
             # VAE+EMASC reconstruction dumps + metric eval at checkpoint
-            # boundaries (reference train_emasc.py:430-473); best-effort
-            try:
-                _run_validation(step, state)
-            except Exception as e:  # noqa: BLE001
-                logger.info(f"validation at step {step} skipped: {e}")
+            # boundaries (reference train_emasc.py:430-473).  Only
+            # expected missing artifacts are tolerated; real validation
+            # bugs raise (policy in run_checkpoint_validation).
+            run_checkpoint_validation(
+                lambda: _run_validation(step, state), step, logger)
 
         def _run_validation(step, state):
             from ladi_vton_tpu.pipelines.drivers import (

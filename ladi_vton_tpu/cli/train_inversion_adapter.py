@@ -95,6 +95,7 @@ def main(argv=None):
     from ladi_vton_tpu.train.runner import (
         LoopConfig,
         Trackers,
+        run_checkpoint_validation,
         setup_logging,
         train_loop,
     )
@@ -213,11 +214,11 @@ def main(argv=None):
                 Path(args.output_dir) / f"inversion_adapter_{step}.pth")
             # adapter validation through the PLAIN SD inpaint pipeline +
             # metrics (reference train_inversion_adapter.py:546-572,
-            # image_from_pipe.py:139-218); best-effort
-            try:
-                _run_validation(step, state)
-            except Exception as e:  # noqa: BLE001
-                logger.info(f"validation at step {step} skipped: {e}")
+            # image_from_pipe.py:139-218).  Only expected missing
+            # artifacts are tolerated; real validation bugs raise
+            # (policy in run_checkpoint_validation).
+            run_checkpoint_validation(
+                lambda: _run_validation(step, state), step, logger)
 
         def _run_validation(step, state):
             from ladi_vton_tpu.diffusion.schedulers import DDIMScheduler

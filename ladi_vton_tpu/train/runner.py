@@ -106,6 +106,23 @@ class Trackers:
                 backend.close()
 
 
+def run_checkpoint_validation(fn, step: int, logger) -> None:
+    """Run a checkpoint-time validation hook with the narrow guard.
+
+    Policy (VERDICT r2 item 5): tolerate ONLY the expected missing
+    artifacts — metric weights or cache dirs absent in a smoke
+    environment surface as ``FileNotFoundError`` — and let every other
+    exception raise, like the reference's validation does
+    (reference train_emasc.py:430-473 has no try/except at all).  A
+    blanket catch here would silently train all four stages blind.
+    """
+    try:
+        fn()
+    except FileNotFoundError as e:
+        logger.info(
+            f"validation at step {step} skipped (missing artifact): {e}")
+
+
 @dataclasses.dataclass
 class LoopConfig:
     max_train_steps: int

@@ -158,3 +158,33 @@ def test_restore_replacing_and_explicit_step_checks(tmp_path):
     mgr.save(5, state.replace(step=jnp.asarray(5)))
     restored = mgr.restore_replacing(state, "latest")
     assert int(restored.step) == 5
+
+
+def test_checkpoint_validation_guard_raises_on_real_bugs():
+    """A seeded validation bug must FAIL the run (VERDICT r2 item 5).
+
+    Only expected missing artifacts (FileNotFoundError: metric weights,
+    cache dirs) are tolerated; the reference crashes loudly on real
+    validation errors (train_emasc.py:430-473 has no guard at all).
+    """
+    import logging
+
+    from ladi_vton_tpu.train.runner import run_checkpoint_validation
+
+    log = logging.getLogger("test-guard")
+
+    # expected absence: swallowed with a log line
+    def missing_weights():
+        raise FileNotFoundError("inception weights not found")
+
+    run_checkpoint_validation(missing_weights, 10, log)  # no raise
+
+    # seeded bug (e.g. a typo'd attribute in the validation path): raises
+    def buggy_validation():
+        raise AttributeError("'NoneType' object has no attribute 'apply'")
+
+    with pytest.raises(AttributeError):
+        run_checkpoint_validation(buggy_validation, 10, log)
+
+    with pytest.raises(ZeroDivisionError):
+        run_checkpoint_validation(lambda: 1 / 0, 10, log)
