@@ -28,6 +28,11 @@ def parse_args(argv=None):
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--clip_vision_dir", type=str, required=True)
     p.add_argument("--cache_root", type=str, default=None)
+    # reference flag (src/utils/compute_cloth_clip_features.py argparse);
+    # accepted for parity — the vision tower loads from
+    # --clip_vision_dir in this offline-weight framework
+    p.add_argument("--pretrained_model_name_or_path", type=str,
+                   default="laion/CLIP-ViT-H-14-laion2B-s32B-b79K")
     return p.parse_args(argv)
 
 

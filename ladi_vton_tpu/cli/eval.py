@@ -38,6 +38,9 @@ def parse_args(argv=None):
                    default="stabilityai/stable-diffusion-2-inpainting")
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--batch_size", type=int, default=8)
+    # accepted no-op on TPU like the other GPU knobs (reference
+    # src/eval.py argparse; TF32 is an Ampere matmul mode)
+    p.add_argument("--allow_tf32", action="store_true")
     p.add_argument("--mixed_precision", type=str, default="bf16",
                    choices=["no", "fp16", "bf16"])
     p.add_argument("--enable_xformers_memory_efficient_attention",
