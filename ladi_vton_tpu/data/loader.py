@@ -8,20 +8,44 @@ batches are collated to numpy, and up to ``prefetch`` batches are
 staged ahead; callers combine this with ``core.mesh.shard_batch`` for
 sharded device puts.
 
-``workers_mode="process"`` forks a pool like torch's DataLoader — the
-escape hatch when per-item preprocessing is Python/PIL-heavy and the
-GIL would serialize threads (the C++ native fast paths in
-``data.native`` release the GIL, so threads are the cheaper default).
+``workers_mode="process"`` runs a worker pool like torch's DataLoader —
+the escape hatch when per-item preprocessing is Python/PIL-heavy and
+the GIL would serialize threads (the C++ native fast paths in
+``data.native`` release the GIL, so threads are the cheaper default on
+few-core hosts).  The pool uses the ``forkserver`` start method and is
+created once per loader: workers are forked from a clean server
+process, never from this (threaded, JAX-initialized) process, so
+process mode is safe to select at any point — including after backend
+init.  ``workers_mode="auto"`` picks process workers when the host has
+at least ``AUTO_PROCESS_MIN_CPUS`` cores and threads below that
+(measured: on a 1-core host the thread pool did 8.0 items/s vs 5.6 for
+the fork pool — IPC overhead only pays for itself once enough cores
+exist to out-scale the GIL'd Python remainder; see docs/PERF.md).
 """
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, Optional, Sequence
 
 import numpy as np
+
+# "auto" picks process workers at/above this core count.  Below it the
+# measured thread pool wins (1-core: 8.0 vs 5.6 items/s); at 8+ cores
+# the per-item Python/PIL share (~55% of item time with the C++ core
+# doing the rest) serializes threads at ~2x single-thread throughput,
+# while 8 processes scale it ~linearly.
+AUTO_PROCESS_MIN_CPUS = 8
+
+
+def _resolve_workers_mode(mode: str) -> str:
+    if mode != "auto":
+        return mode
+    return ("process" if (os.cpu_count() or 1) >= AUTO_PROCESS_MIN_CPUS
+            else "thread")
 
 # process-pool plumbing: the dataset is shipped once per worker via the
 # initializer (fork), not re-pickled per __getitem__ call
@@ -63,9 +87,9 @@ class BatchLoader:
         prefetch: int = 2,
         seed: int = 0,
         pad_last: bool = False,
-        workers_mode: str = "thread",
+        workers_mode: str = "auto",
     ):
-        assert workers_mode in ("thread", "process")
+        assert workers_mode in ("thread", "process", "auto")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -74,8 +98,37 @@ class BatchLoader:
         self.prefetch = prefetch
         self.seed = seed
         self.pad_last = pad_last
-        self.workers_mode = workers_mode
+        self.workers_mode = _resolve_workers_mode(workers_mode)
         self._epoch = 0
+        self._pool = None
+
+    def _process_pool(self):
+        """Persistent forkserver pool, created once per loader.
+
+        forkserver keeps a pristine server process; workers fork from
+        it, not from this process — immune to the fork-from-threaded-
+        process deadlocks a plain fork pool risks after JAX init.
+        """
+        if self._pool is None:
+            import multiprocessing as mp
+
+            ctx = mp.get_context("forkserver")
+            self._pool = ctx.Pool(self.num_workers,
+                                  initializer=_init_worker,
+                                  initargs=(self.dataset,))
+        return self._pool
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.terminate()
+            self._pool.join()
+            self._pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -106,21 +159,21 @@ class BatchLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = object()
 
-        def produce():
-            if self.workers_mode == "process":
-                import multiprocessing as mp
+        # The pool (if any) is created here, on the caller's thread —
+        # the producer thread below only submits work to it.
+        pool = (self._process_pool()
+                if self.workers_mode == "process" else None)
 
-                ctx = mp.get_context("fork")
-                with ctx.Pool(self.num_workers, initializer=_init_worker,
-                              initargs=(self.dataset,)) as pool:
-                    for idx in batches:
-                        items = pool.map(_worker_getitem, idx)
-                        q.put(collate(items))
+        def produce():
+            if pool is not None:
+                for idx in batches:
+                    items = pool.map(_worker_getitem, idx)
+                    q.put(collate(items))
             else:
-                with ThreadPoolExecutor(self.num_workers) as pool:
+                with ThreadPoolExecutor(self.num_workers) as tpool:
                     for idx in batches:
-                        items = list(pool.map(self.dataset.__getitem__,
-                                              idx))
+                        items = list(tpool.map(self.dataset.__getitem__,
+                                               idx))
                         q.put(collate(items))
             q.put(stop)
 

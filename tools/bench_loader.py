@@ -74,21 +74,35 @@ def main():
             outputlist=("image", "im_mask", "inpaint_mask", "pose_map",
                         "cloth", "im_name", "category"),
             size=(512, 384))
-        for mode in ("thread", "process"):
-            loader = BatchLoader(ds, args.batch_size,
-                                 num_workers=args.workers,
-                                 workers_mode=mode)
-            # warm one epoch (page cache), then measure
-            for _ in loader:
-                pass
-            t0 = time.perf_counter()
-            n = 0
-            for batch in loader:
-                n += len(batch["im_name"])
-            dt = time.perf_counter() - t0
-            print(f"{mode:8s} workers={args.workers}: "
-                  f"{n / dt:7.2f} items/s  ({dt:.2f}s for {n})",
-                  flush=True)
+        # step-time headroom targets the loader must beat to never
+        # starve the chip (measured on v5e — docs/PERF.md §8/§9):
+        # inference batch-8 ~4.2 s/batch -> 1.9 items/s; train default
+        # batch-16 ~1 s/step -> 16 items/s (reference default
+        # train_batch_size=16, cli/train_emasc.py).
+        targets = {8: ("inference b8", 1.9), 16: ("train b16", 16.0)}
+        for batch_size in sorted({args.batch_size, 16}):
+            what, need = targets.get(batch_size, (f"b{batch_size}", None))
+            for mode in ("thread", "process"):
+                loader = BatchLoader(ds, batch_size,
+                                     num_workers=args.workers,
+                                     workers_mode=mode)
+                # warm one epoch (page cache), then measure
+                for _ in loader:
+                    pass
+                t0 = time.perf_counter()
+                n = 0
+                for batch in loader:
+                    n += len(batch["im_name"])
+                dt = time.perf_counter() - t0
+                rate = n / dt
+                verdict = ""
+                if need is not None:
+                    verdict = (f"  [{what} needs {need} items/s: "
+                               f"{'OK' if rate >= need else 'STARVED'}]")
+                print(f"{mode:8s} b={batch_size:<3d} "
+                      f"workers={args.workers}: {rate:7.2f} items/s  "
+                      f"({dt:.2f}s for {n}){verdict}", flush=True)
+                loader.close()
 
 
 if __name__ == "__main__":
