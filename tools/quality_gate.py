@@ -1,0 +1,149 @@
+"""Quality gate: real-weight end-to-end eval vs the paper targets.
+
+The turnkey runbook for the first session that has REAL artifacts
+(VERDICT r2 item 8).  Given:
+
+- an SD-2-inpainting weight dir (diffusers layout:
+  ``<sd2>/vae/diffusion_pytorch_model.bin``, ``<sd2>/text_encoder/...``,
+  ``<sd2>/tokenizer/{vocab.json,merges.txt}``),
+- the released LaDI-VTON ``.pth``s (from the reference's GitHub release,
+  what hubconf.py downloads) in one dir:
+  ``unet_<dataset>.pth``, ``emasc_<dataset>.pth``,
+  ``inversion_adapter_<dataset>.pth``, ``warping_<dataset>.pth``,
+- a CLIP ViT-H/14 vision dir (``pytorch_model.bin``),
+- real metric weights: ``<metrics>/inception.pth`` (the pytorch-fid
+  ``pt_inception-2015-12-05`` checkpoint) and ``<metrics>/lpips_alex.pth``
+  (the lpips-package alex checkpoint) — layouts match what
+  ``tools/make_metric_weights.py`` synthesizes,
+- a real dataset root (VITON-HD or DressCode),
+
+this script runs ``cli.inference --compute_metrics`` end-to-end and
+compares FID/KID/SSIM/LPIPS against the paper table recorded in
+BASELINE.md (arXiv 2305.13501), with tolerances.  Exit code 0 = all
+gates pass.
+
+Usage:
+    python tools/quality_gate.py --dataset vitonhd \
+        --vitonhd_dataroot /data/vitonhd \
+        --sd2_model_dir /weights/sd2 --clip_vision_dir /weights/vith \
+        --checkpoint_dir /weights/ladi --metric_weights /weights/metrics \
+        [--test_order unpaired] [--batch_size 8]
+
+Expected wall time on one v5e chip: ~2032 images x ~0.53 s = ~18 min
+generation (VITON-HD unpaired) + metric passes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from pathlib import Path
+
+# (metric, dataset, order, category) -> (target, tolerance, direction)
+# Paper values from BASELINE.md (approximate — arXiv 2305.13501).
+# direction: "below" = measured must be <= target + tol;
+#            "above" = measured must be >= target - tol.
+GATES = {
+    ("vitonhd", "unpaired"): {
+        "fid_score": (9.4, 1.0, "below"),
+        "kid_score": (1.6, 0.6, "below"),
+    },
+    ("vitonhd", "paired"): {
+        "fid_score": (6.7, 0.8, "below"),
+        "lpips_score": (0.09, 0.02, "below"),
+        "ssim_score": (0.88, 0.02, "above"),
+    },
+    ("dresscode", "unpaired"): {
+        "fid_score": (6.5, 0.8, "below"),
+        "kid_score": (2.2, 0.8, "below"),
+    },
+}
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dataset", required=True,
+                   choices=["dresscode", "vitonhd"])
+    p.add_argument("--dresscode_dataroot")
+    p.add_argument("--vitonhd_dataroot")
+    p.add_argument("--sd2_model_dir", required=True)
+    p.add_argument("--clip_vision_dir", required=True)
+    p.add_argument("--checkpoint_dir", required=True,
+                   help="dir with the released unet/emasc/adapter/"
+                        "warping .pth files")
+    p.add_argument("--metric_weights", required=True)
+    p.add_argument("--test_order", default="unpaired",
+                   choices=["unpaired", "paired"])
+    p.add_argument("--category", default="all")
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--output_dir", default="/tmp/quality_gate")
+    p.add_argument("--skip_generation", action="store_true",
+                   help="reuse --output_dir images from a prior run and "
+                        "only re-check the metric gates")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    os.environ["LADI_VTON_METRIC_WEIGHTS"] = args.metric_weights
+    for required, what in ((Path(args.metric_weights) / "inception.pth",
+                            "pytorch-fid inception"),
+                           (Path(args.metric_weights) / "lpips_alex.pth",
+                            "lpips alex")):
+        if not required.exists():
+            sys.exit(f"missing {what} weights at {required}")
+
+    metrics_file = (Path(args.output_dir)
+                    / f"metrics_{args.test_order}_{args.category}.json")
+    if not args.skip_generation or not metrics_file.exists():
+        from ladi_vton_tpu.cli.inference import main as inference_main
+
+        argv_inf = [
+            "--dataset", args.dataset,
+            "--output_dir", args.output_dir,
+            "--test_order", args.test_order,
+            "--category", args.category,
+            "--batch_size", str(args.batch_size),
+            "--checkpoint_dir", args.checkpoint_dir,
+            "--sd2_model_dir", args.sd2_model_dir,
+            "--clip_vision_dir", args.clip_vision_dir,
+            "--compute_metrics",
+        ]
+        for flag in ("dresscode_dataroot", "vitonhd_dataroot"):
+            if getattr(args, flag):
+                argv_inf += [f"--{flag}", getattr(args, flag)]
+        inference_main(argv_inf)
+
+    measured = json.loads(metrics_file.read_text())
+    gates = GATES.get((args.dataset, args.test_order), {})
+    if not gates:
+        print(f"no paper targets recorded for {args.dataset}/"
+              f"{args.test_order}; measured: {measured}")
+        return
+
+    failures = []
+    print(f"\nquality gate — {args.dataset} {args.test_order} "
+          f"({args.category}):")
+    for metric, (target, tol, direction) in gates.items():
+        got = measured.get(metric)
+        if got is None:
+            failures.append(metric)
+            print(f"  {metric:<12} MISSING (target {target})")
+            continue
+        ok = (got <= target + tol if direction == "below"
+              else got >= target - tol)
+        mark = "PASS" if ok else "FAIL"
+        rel = "<=" if direction == "below" else ">="
+        print(f"  {metric:<12} {got:8.4f}  {rel} {target} "
+              f"(tol {tol})  {mark}")
+        if not ok:
+            failures.append(metric)
+    if failures:
+        sys.exit(f"quality gate FAILED: {failures}")
+    print("quality gate PASSED")
+
+
+if __name__ == "__main__":
+    main()
