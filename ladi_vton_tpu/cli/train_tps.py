@@ -209,13 +209,17 @@ def main(argv=None):
                     tps_state.variables, vgg_vars, arrays)
             l1s.append(float(l1))
             vggs.append(float(perc))
-            # grid rows like the reference: image | cloth | gt | warped
+            # Per-sample panel like the reference grid
+            # (train_tps.py:474-490): image | cloth | gt | warped side
+            # by side along width, so every logged row shows all four.
             visual = np.concatenate([
                 np.asarray(batch["image"]),
                 np.asarray(arrays["cloth"]),
                 np.asarray(arrays["im_cloth"]),
                 np.asarray(warped),
-            ])
+            ], axis=2)
+        if not l1s:  # empty test split: no NaN means
+            return 0.0, 0.0, None
         return (float(np.mean(l1s)), float(np.mean(vggs)),
                 (visual + 1.0) / 2.0 if visual is not None else None)
 

@@ -113,10 +113,17 @@ def _cached_convert(src_path, tag: str, fn):
         return fn()
     target = _converted_cache_dir() / f"{key}.npz"
     if target.exists():
-        with np.load(target) as z:
-            return _unflatten_tree({k: z[k] for k in z.files})
+        try:
+            with np.load(target) as z:
+                return _unflatten_tree({k: z[k] for k in z.files})
+        except Exception:
+            # Corrupt cache entry (e.g. torn write from a crashed
+            # process): fall through and reconvert over it.
+            pass
     tree = fn()
-    tmp = target.with_name(target.name + ".tmp.npz")
+    # Per-writer temp name: concurrent processes converting the same
+    # checkpoint must not interleave writes into one temp file.
+    tmp = target.with_name(f"{target.name}.tmp.{os.getpid()}.npz")
     np.savez(tmp, **_flatten_tree(tree))
     tmp.replace(target)  # atomic publish
     return tree

@@ -51,6 +51,21 @@ def prepare_mask_and_masked_image(image: jax.Array, mask: jax.Array):
     return mask, masked_image
 
 
+def cloth_gate_start(num_inference_steps: int,
+                     cloth_cond_rate: float) -> float:
+    """First denoise-loop index at which warped-cloth conditioning is
+    zeroed.
+
+    The reference gates at ``i >= num_inference_steps -
+    (1 - rate) * num_inference_steps`` = ``rate * num_inference_steps``
+    (tryon_pipe.py:654,717-719).  It must be computed from
+    ``num_inference_steps``, NOT the timestep-plan length: PNDM plans
+    are ``num_inference_steps + 1`` entries long, which would shift the
+    boundary by one step (ADVICE r2).
+    """
+    return cloth_cond_rate * num_inference_steps
+
+
 @dataclasses.dataclass(frozen=True)
 class TryOnPipeline:
     """Bundles the model defs; parameters travel separately (functional).
@@ -222,7 +237,8 @@ class TryOnPipeline:
         timesteps = self.scheduler.set_timesteps(num_inference_steps)
         latents = prepared["latents"] * self.scheduler.init_noise_sigma
         n_loop = int(timesteps.shape[0])  # PNDM plans are n+1 long
-        cloth_gate_from = cloth_cond_rate * n_loop
+        cloth_gate_from = cloth_gate_start(num_inference_steps,
+                                           cloth_cond_rate)
         mask_in, masked_in, pose_in, cloth_in, context = self._cfg_inputs(
             prepared, prompt_embeds, negative_prompt_embeds, do_cfg)
 

@@ -558,3 +558,43 @@ def test_vto_shard_step_zero1_matches_replicated():
         if hasattr(l, "sharding") and "data" in str(l.sharding.spec)
     ]
     assert sharded, "no opt_state leaf ended up sharded"
+
+
+def test_cloth_gate_boundary_from_num_inference_steps():
+    """The warped-cloth gate fires at i >= rate * num_inference_steps
+    (reference tryon_pipe.py:654,717-719) — NOT rate * plan-length,
+    which for PNDM (n+1-long plans) would shift the boundary one step
+    (ADVICE r2)."""
+    from ladi_vton_tpu.pipelines.tryon import (
+        TryOnPipeline,
+        cloth_gate_start,
+    )
+
+    assert cloth_gate_start(4, 0.5) == 2.0
+    # the old bug: 0.5 * len(PNDM plan) = 0.5 * 5 = 2.5 -> gate at 3
+
+    class StubUNet:
+        def apply(self, params, x, t, ctx):
+            return x[..., -4:]  # echo the (gated) cloth channels
+
+    pipe = TryOnPipeline(unet=StubUNet(), vae=None,
+                         scheduler=DDIMScheduler())
+    latents = jnp.zeros((1, 2, 2, 4))
+    cloth = jnp.ones((1, 2, 2, 4))
+    timesteps = pipe.scheduler.set_timesteps(4)
+    state = pipe.scheduler.init_loop_state(latents)
+    gate = cloth_gate_start(4, 0.5)
+
+    def step(i):
+        new_latents, _ = pipe.denoise_one_step(
+            {"unet": None}, latents, state, jnp.asarray(i), timesteps[i],
+            mask_in=jnp.zeros((1, 2, 2, 1)),
+            masked_in=jnp.zeros((1, 2, 2, 4)),
+            pose_in=jnp.zeros((1, 2, 2, 18)),
+            cloth_in=cloth, context=None, guidance_scale=1.0,
+            cloth_gate_from=gate)
+        return np.abs(np.asarray(new_latents)).max()
+
+    assert step(1) > 0.0  # cloth still conditions at i=1
+    assert step(2) == 0.0  # zeroed exactly from i=2 on
+    assert step(3) == 0.0
