@@ -29,7 +29,10 @@ os.makedirs("/root/repo/.jax_cache", exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-REF_A100_IMG_PER_SEC = 1.75  # estimated torch reference anchor (see above)
+# Estimated torch-reference anchor.  Derivation + sensitivity bracket
+# (1.6-1.9 img/s from A100 fp16 peak x typical SD-UNet MFU) recorded in
+# BASELINE.md "Anchor derivation".
+REF_A100_IMG_PER_SEC = 1.75
 
 
 def main():
