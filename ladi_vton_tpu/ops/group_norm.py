@@ -34,16 +34,37 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def group_norm_xla(x, scale, bias, *, num_groups=32, eps=1e-6, act="silu"):
-    """Reference implementation (matches models.layers GroupNorm [+silu])."""
+    """XLA GroupNorm[+SiLU], lane-preserving formulation.
+
+    The naive form — reshape NHWC to (B, N, G, C/G) and reduce over
+    (N, C/G) — splits the channel (lane) axis down to C/G=4-wide lanes
+    in fp32, which on TPU materializes hugely padded relayout copies:
+    the round-3 device trace attributed ~60 ms/stage of copy+reshape
+    and ~30 ms of convert+reduce in the VAE encoder/decoder to exactly
+    this (docs/PERF.md §10).  Instead: reduce over N per-channel (lane
+    layout untouched), combine groups on the tiny (B, C) tensor, and
+    apply as one per-channel affine elementwise pass that XLA fuses
+    into the neighbouring ops.  Single-pass sum/sumsq variance — the
+    same formulation as the Pallas kernel.
+    """
     B = x.shape[0]
     C = x.shape[-1]
+    cg = C // num_groups
     orig_shape = x.shape
-    xf = x.reshape(B, -1, num_groups, C // num_groups).astype(jnp.float32)
-    mean = xf.mean(axis=(1, 3), keepdims=True)
-    var = xf.var(axis=(1, 3), keepdims=True)
-    normed = (xf - mean) * jax.lax.rsqrt(var + eps)
-    out = normed.reshape(B, -1, C) * scale.astype(jnp.float32) \
-        + bias.astype(jnp.float32)
+    xf = x.reshape(B, -1, C).astype(jnp.float32)
+    n_rows = xf.shape[1]
+    ch_sum = jnp.sum(xf, axis=1)      # (B, C)
+    ch_sq = jnp.sum(xf * xf, axis=1)  # (B, C)
+    count = n_rows * cg
+    g_mean = ch_sum.reshape(B, num_groups, cg).sum(-1) / count  # (B, G)
+    g_sq = ch_sq.reshape(B, num_groups, cg).sum(-1) / count
+    g_var = g_sq - g_mean * g_mean
+    g_rstd = jax.lax.rsqrt(g_var + eps)
+    mean_c = jnp.repeat(g_mean, cg, axis=1)  # (B, C)
+    rstd_c = jnp.repeat(g_rstd, cg, axis=1)
+    a = rstd_c * scale.astype(jnp.float32)[None, :]
+    b = bias.astype(jnp.float32)[None, :] - mean_c * a
+    out = xf * a[:, None, :] + b[:, None, :]
     if act == "silu":
         out = out * jax.nn.sigmoid(out)
     return out.reshape(orig_shape).astype(x.dtype)

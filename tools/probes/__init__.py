@@ -34,4 +34,10 @@ PROBES = {
     "geglu": ("tools.probes.geglu", "fused pallas GEGLU vs XLA"),
     "unet-routing-ab": ("tools.probes.unet_routing_ab",
                         "whole-UNet A/B of kernel routing choices"),
+    "stage-breakdown": ("tools.probes.stage_breakdown",
+                        "prep/decode stage internals at 512x384"),
+    "attention-dots": ("tools.probes.attention_dots",
+                       "isolate slow transformer projection dots"),
+    "unet-trace": ("tools.probes.unet_trace",
+                   "device-trace op-bucket attribution of the UNet step"),
 }
