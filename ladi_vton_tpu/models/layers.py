@@ -400,6 +400,7 @@ class Transformer2D(nn.Module):
     depth: int = 1
     use_linear_projection: bool = True
     attn_impl: str = "auto"
+    proj_out_impl: str = "dense"  # 'dense' | 'conv' (same params/math)
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -424,9 +425,30 @@ class Transformer2D(nn.Module):
                 dtype=self.dtype, param_dtype=self.param_dtype,
                 name=f"transformer_blocks_{i}")(h, context)
         if self.use_linear_projection:
-            h = nn.Dense(C, dtype=self.dtype, param_dtype=self.param_dtype,
-                         name="proj_out")(h)
-            h = h.reshape(B, H, W, C)
+            if self.proj_out_impl == "conv":
+                # Same math/params as the Dense, emitted as a 1x1 conv
+                # on the spatial NHWC tensor.  Measured full-UNet A/B:
+                # LOSES to the Dense (82.42 vs 81.24 ms/step) — the
+                # Dense's apparently slow dot (0.78 ms, ~6% MFU at
+                # level 0) is really the NHWC<->S-lane boundary
+                # relayout fused into it; the conv form just pays the
+                # same copy on its input instead (docs/PERF.md §11).
+                # Kept for the A/B probe; 'dense' is the default.
+                wo, bo = _DenseParams((inner, C),
+                                      param_dtype=self.param_dtype,
+                                      name="proj_out")()
+                h = h.reshape(B, H, W, inner)
+                dn = jax.lax.conv_dimension_numbers(
+                    h.shape, (1, 1, inner, C), ("NHWC", "HWIO", "NHWC"))
+                h = jax.lax.conv_general_dilated(
+                    h, wo.astype(self.dtype).reshape(1, 1, inner, C),
+                    (1, 1), "VALID", dimension_numbers=dn,
+                ) + bo.astype(self.dtype)
+            else:
+                h = nn.Dense(C, dtype=self.dtype,
+                             param_dtype=self.param_dtype,
+                             name="proj_out")(h)
+                h = h.reshape(B, H, W, C)
         else:
             h = h.reshape(B, H, W, inner)
             h = nn.Conv(C, (1, 1), dtype=self.dtype,

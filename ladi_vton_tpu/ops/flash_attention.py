@@ -157,13 +157,20 @@ def _flash_bwd(scale, block_q, block_k, interpret, bhsd, res, g):
 _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
+# module-level default so whole-model A/B probes can sweep the block
+# size without re-plumbing every call site.  Full-UNet sweep (CFG-16
+# step): 1024 -> 80.80 ms vs 512 -> 82.36 ms; 256/768/1536 all lose to
+# 1024 (docs/PERF.md §1).
+DEFAULT_BLOCK_Q = 1024
+
+
 def flash_attention(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
     *,
     scale: Optional[float] = None,
-    block_q: int = 512,
+    block_q: Optional[int] = None,
     block_k: Optional[int] = None,
     interpret: bool = False,
     bhsd: bool = False,
@@ -182,6 +189,8 @@ def flash_attention(
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    if block_q is None:
+        block_q = DEFAULT_BLOCK_Q
     Sq = q.shape[2] if bhsd else q.shape[1]
     Sk = k.shape[2] if bhsd else k.shape[1]
     skp = _round_up(Sk, 128)
