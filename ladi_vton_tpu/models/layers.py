@@ -361,6 +361,31 @@ class FeedForwardGEGLU(nn.Module):
         return geglu(x.astype(self.dtype), w1, b1, w2, b2)
 
 
+class FusedLayerNorm(nn.Module):
+    """LayerNorm with the ``ops.layer_norm`` fused-kernel dispatch.
+
+    Parameter names/shapes match ``nn.LayerNorm`` (``scale``/``bias``
+    of shape (C,)) so checkpoint conversion is unchanged.
+    """
+
+    epsilon: float = 1e-5
+    impl: str = "auto"
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from ladi_vton_tpu.ops.layer_norm import layer_norm
+
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,),
+                           self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (C,),
+                          self.param_dtype)
+        return layer_norm(x.astype(self.dtype), scale, bias,
+                          eps=self.epsilon, impl=self.impl)
+
+
 class BasicTransformerBlock(nn.Module):
     """LN->self-attn, LN->cross-attn, LN->GEGLU FF, all residual."""
 
@@ -368,13 +393,16 @@ class BasicTransformerBlock(nn.Module):
     num_heads: int
     head_dim: int
     attn_impl: str = "auto"
+    ln_impl: str = "xla"  # flip to "auto" only on a measured win
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, context: jax.Array) -> jax.Array:
-        ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
-                                       param_dtype=self.param_dtype, name=name)
+        ln = lambda name: FusedLayerNorm(epsilon=1e-5, impl=self.ln_impl,
+                                         dtype=self.dtype,
+                                         param_dtype=self.param_dtype,
+                                         name=name)
         x = x + CrossAttention(self.num_heads, self.head_dim, self.dim,
                                attn_impl=self.attn_impl, dtype=self.dtype,
                                param_dtype=self.param_dtype,

@@ -49,6 +49,12 @@ def xla_attention(
     return out.astype(q.dtype)
 
 
+# short sequences route to XLA: the flash custom-call's fixed layout
+# boundary costs more than it saves below this KV length (cross-attn
+# Sk=77 and the UNet mid block Sk=48; full-UNet sweep in docs/PERF.md)
+XLA_SHORT_KV = 128
+
+
 def dot_product_attention(
     q: jax.Array,
     k: jax.Array,
@@ -92,7 +98,7 @@ def dot_product_attention(
                 q, k, v, scale=scale, bhsd=bhsd,
                 interpret=jax.default_backend() != "tpu")
         kv_seq = k.shape[2] if bhsd else k.shape[1]
-        if causal or kv_seq <= 128:
+        if causal or kv_seq <= XLA_SHORT_KV:
             # causal (CLIP text) and short-KV cross-attention (77 text
             # tokens) run faster through XLA than the flash kernel
             # (0.56 vs 0.88 ms at Sq=3072 — tools/perf.py transformer-internals; docs/PERF.md §1)

@@ -9,7 +9,8 @@ Mirrors reference src/utils/image_from_pipe.py:
   dumps.
 
 All drivers jit one batch-shaped program and stream batches through it;
-image saving happens on host threads.
+fetch+save of batch N overlaps batch N+1's device compute
+(``_PipelinedSaver``).
 """
 
 from __future__ import annotations
@@ -43,6 +44,38 @@ def _save_images(images: np.ndarray, names, categories, save_dir: str,
             pil.save(os.path.join(cat_dir, name.replace(".jpg", ".png")))
         else:
             pil.save(os.path.join(cat_dir, name), quality=95)
+
+
+class _PipelinedSaver:
+    """One-batch software pipeline: defer the device→host fetch and the
+    PIL encode of batch N until batch N+1's program has been DISPATCHED.
+
+    jax dispatch is async, so while the device denoises batch N+1 the
+    host fetches batch N's images (the transfer completes as soon as N's
+    program finishes) and writes them to disk — the fetch+save cost
+    disappears from the critical path instead of serializing every
+    batch (reference loops save synchronously,
+    src/utils/image_from_pipe.py:121-135).
+    """
+
+    def __init__(self, save_dir: str, use_png: bool = False):
+        self.save_dir = save_dir
+        self.use_png = use_png
+        self.seen: set = set()
+        self._pending = None
+
+    def push(self, images, names, categories):
+        """Queue batch N's (device) images; saves batch N-1's."""
+        self.flush()
+        self._pending = (images, list(names), list(categories))
+
+    def flush(self):
+        if self._pending is None:
+            return
+        images, names, cats = self._pending
+        self._pending = None
+        _save_images(np.asarray(images), names, cats, self.save_dir,
+                     self.seen, self.use_png)
 
 
 def generate_images_from_tryon_pipe(
@@ -131,7 +164,7 @@ def generate_images_from_tryon_pipe(
         x = (x - clip_mean) / clip_std
         return vision.apply(vv, x)
 
-    seen: set[str] = set()
+    saver = _PipelinedSaver(save_dir, use_png)
     for step, batch in enumerate(loader):
         if text_usage == "inversion_adapter":
             if "clip_cloth_features" in batch:
@@ -164,8 +197,8 @@ def generate_images_from_tryon_pipe(
         images = run(arrays["image"], arrays["mask"], arrays["pose"],
                      arrays["warped"], arrays["input_ids"],
                      arrays["clip_feats"], rng)
-        _save_images(np.asarray(images), batch["im_name"],
-                     batch["category"], save_dir, seen, use_png)
+        saver.push(images, batch["im_name"], batch["category"])
+    saver.flush()
 
 
 def extract_save_vae_images(
@@ -200,11 +233,11 @@ def extract_save_vae_images(
                         method="decode")
         return jnp.clip(out.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
 
-    seen: set[str] = set()
+    saver = _PipelinedSaver(save_dir)
     for step, batch in enumerate(loader):
         rng = jax.random.fold_in(root_key, step)
         images = recon(recon_params, jnp.asarray(batch["image"]),
                        jnp.asarray(batch["im_mask"]),
                        jnp.asarray(batch["inpaint_mask"]), rng)
-        _save_images(np.asarray(images), batch["im_name"],
-                     batch["category"], save_dir, seen)
+        saver.push(images, batch["im_name"], batch["category"])
+    saver.flush()

@@ -142,7 +142,9 @@ def generate_images_inversion_adapter(
                            num_inference_steps=num_inference_steps,
                            guidance_scale=guidance_scale)
 
-    seen: set[str] = set()
+    from ladi_vton_tpu.pipelines.drivers import _PipelinedSaver
+
+    saver = _PipelinedSaver(save_dir, use_png)
     for step, batch in enumerate(loader):
         prompts = [
             f'a photo of a model wearing {CATEGORY_PROMPT_TEXT[c]} '
@@ -156,5 +158,5 @@ def generate_images_inversion_adapter(
                      jnp.asarray(batch["inpaint_mask"]),
                      jnp.asarray(batch["cloth"]), input_ids, feats,
                      jax.random.fold_in(root_key, step))
-        _save_images(np.asarray(images), batch["im_name"],
-                     batch["category"], save_dir, seen, use_png)
+        saver.push(images, batch["im_name"], batch["category"])
+    saver.flush()

@@ -21,5 +21,11 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
+# The env var alone is NOT enough: the axon sitecustomize installs a
+# jax-import hook that force-updates jax.config.jax_platforms to
+# "axon,cpu", so the first backends() call would initialize the tunneled
+# TPU client — and HANG the whole CPU suite whenever the relay is down.
+# Re-pin at the config level (backends are not initialized yet here).
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_platform_name", "cpu")
 jax.config.update("jax_enable_x64", False)

@@ -264,3 +264,78 @@ def test_geglu_grad_matches_oracle():
     for a, b in zip(g_ours, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_layer_norm_pallas_matches_xla():
+    from ladi_vton_tpu.ops.layer_norm import layer_norm_pallas, layer_norm_xla
+
+    rng = np.random.default_rng(12)
+    # 320 is deliberately NOT a multiple of 128 — the UNet level-0 width;
+    # the kernel's cross-lane mean must mask the padded lanes
+    x = rng.standard_normal((2, 24, 320)).astype(np.float32)
+    scale = rng.standard_normal(320).astype(np.float32)
+    bias = rng.standard_normal(320).astype(np.float32)
+    ours = layer_norm_pallas(jnp.asarray(x), jnp.asarray(scale),
+                             jnp.asarray(bias), interpret=True)
+    ref = layer_norm_xla(jnp.asarray(x), jnp.asarray(scale),
+                         jnp.asarray(bias))
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_layer_norm_xla_matches_torch():
+    import torch
+
+    from ladi_vton_tpu.ops.layer_norm import layer_norm_xla
+
+    rng = np.random.default_rng(13)
+    x = rng.standard_normal((3, 7, 64)).astype(np.float32)
+    scale = rng.standard_normal(64).astype(np.float32)
+    bias = rng.standard_normal(64).astype(np.float32)
+    ours = layer_norm_xla(jnp.asarray(x), jnp.asarray(scale),
+                          jnp.asarray(bias), eps=1e-5)
+    theirs = torch.nn.functional.layer_norm(
+        torch.from_numpy(x), (64,), torch.from_numpy(scale),
+        torch.from_numpy(bias), eps=1e-5).numpy()
+    np.testing.assert_allclose(np.asarray(ours), theirs, rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_layer_norm_pallas_grads_match_xla():
+    from ladi_vton_tpu.ops.layer_norm import _ln_pallas_diff, layer_norm_xla
+
+    rng = np.random.default_rng(14)
+    x = jnp.asarray(rng.standard_normal((2, 8, 128)).astype(np.float32))
+    scale = jnp.asarray(rng.standard_normal(128).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal(128).astype(np.float32))
+    g_ours = jax.grad(
+        lambda *a: jnp.sum(_ln_pallas_diff(*a, 1e-5, True) ** 2),
+        argnums=(0, 1, 2))(x, scale, bias)
+    g_ref = jax.grad(
+        lambda *a: jnp.sum(layer_norm_xla(*a, eps=1e-5) ** 2),
+        argnums=(0, 1, 2))(x, scale, bias)
+    for a, b in zip(g_ours, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_fused_layer_norm_module_matches_nn_layer_norm():
+    """Same params (scale/bias), same numbers as flax nn.LayerNorm —
+    checkpoint conversion must be unchanged by the fused module."""
+    from flax import linen as nn
+
+    from ladi_vton_tpu.models.layers import FusedLayerNorm
+
+    rng = np.random.default_rng(15)
+    x = jnp.asarray(rng.standard_normal((2, 6, 32)).astype(np.float32))
+    mod = FusedLayerNorm(epsilon=1e-5, impl="xla")
+    variables = mod.init(jax.random.key(0), x)
+    assert set(variables["params"]) == {"scale", "bias"}
+    variables = jax.tree_util.tree_map(
+        lambda p: jnp.asarray(
+            rng.standard_normal(p.shape).astype(np.float32)), variables)
+    ref_mod = nn.LayerNorm(epsilon=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(mod.apply(variables, x)),
+        np.asarray(ref_mod.apply(variables, x)),
+        rtol=1e-5, atol=1e-6)

@@ -61,8 +61,13 @@ def main():
     args = ap.parse_args()
 
     # must OVERWRITE: the axon environment exports JAX_PLATFORMS=axon
-    # globally, so setdefault would still pick the TPU backend
+    # globally, so setdefault would still pick the TPU backend; and the
+    # axon jax-import hook force-sets jax_platforms="axon,cpu", so the
+    # config must be re-pinned too or backend init blocks on the relay.
     os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
     from ladi_vton_tpu.data import DressCodeDataset
     from ladi_vton_tpu.data.loader import BatchLoader
 

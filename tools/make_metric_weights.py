@@ -16,12 +16,28 @@ import sys
 from pathlib import Path
 
 
+def _pin_cpu(jax) -> None:
+    """Re-pin jax_platforms=cpu at the config level (the axon
+    jax-import hook force-sets "axon,cpu", which would block backend
+    init on the TPU relay); no-op if backends already initialized
+    (e.g. called from the CPU-pinned test suite)."""
+    from jax._src import xla_bridge as _xb
+
+    if not _xb.backends_are_initialized():
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
+
 def make_inception_weights(out: Path, seed: int = 0) -> Path:
     """Random-init InceptionV3 in the pytorch-fid checkpoint layout."""
     import jax
     import jax.numpy as jnp
     import numpy as np
     import torch
+
+    _pin_cpu(jax)
 
     from ladi_vton_tpu.metrics.inception import InceptionV3
 

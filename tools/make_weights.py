@@ -16,6 +16,10 @@ import jax
 import jax.numpy as jnp
 import torch
 
+# the axon jax-import hook force-sets jax_platforms="axon,cpu"; re-pin
+# at the config level so backend init never touches the TPU relay
+jax.config.update("jax_platforms", "cpu")
+
 from ladi_vton_tpu.core.checkpoint import (
     clip_text_torch_key_map,
     clip_vision_torch_key_map,

@@ -9,6 +9,9 @@ honest comparison is the full UNet step.  Variants:
   gn-xla       GroupNorm forced to XLA everywhere
   geglu-xla    GEGLU forced to XLA everywhere
   both-xla     both forced to XLA
+  ln-pallas    transformer LayerNorms forced to the fused Pallas kernel
+               (default is XLA — flip models/layers.py
+               BasicTransformerBlock.ln_impl only on a win here)
 
 Run: python tools/perf.py unet-routing-ab
 """
@@ -39,11 +42,21 @@ from ladi_vton_tpu.models.unet_condition import (
 _orig_gn = gn_mod.group_norm
 _orig_geglu = geglu_mod.geglu
 
+import ladi_vton_tpu.ops.layer_norm as ln_mod  # noqa: E402
 
-def set_variant(gn_xla: bool, geglu_xla: bool):
+_orig_ln = ln_mod.layer_norm
+
+
+def set_variant(gn_xla: bool, geglu_xla: bool, ln_pallas: bool = False):
     gn_mod.group_norm = (functools.partial(_orig_gn, impl="xla")
                          if gn_xla else _orig_gn)
     geglu_mod.geglu = (geglu_mod.geglu_xla if geglu_xla else _orig_geglu)
+    # call sites pass impl= explicitly (BasicTransformerBlock default
+    # "xla"), so the override must drop the incoming impl kwarg
+    ln_mod.layer_norm = (
+        (lambda x, s, b, *, eps=1e-5, impl=None:
+         _orig_ln(x, s, b, eps=eps, impl="pallas"))
+        if ln_pallas else _orig_ln)
 
 
 def time_unet():
@@ -69,11 +82,12 @@ def time_unet():
 
 def main():
     print("devices:", jax.devices(), flush=True)
-    for name, gn_xla, gg_xla in [("base", False, False),
-                                 ("gn-xla", True, False),
-                                 ("geglu-xla", False, True),
-                                 ("both-xla", True, True)]:
-        set_variant(gn_xla, gg_xla)
+    for name, gn_xla, gg_xla, ln_p in [("base", False, False, False),
+                                       ("gn-xla", True, False, False),
+                                       ("geglu-xla", False, True, False),
+                                       ("both-xla", True, True, False),
+                                       ("ln-pallas", False, False, True)]:
+        set_variant(gn_xla, gg_xla, ln_p)
         dt = time_unet()
         mfu = 0.575e12 * B / dt / PEAK
         print(f"{name:10s} {dt*1e3:7.2f} ms  mfu {mfu*100:5.1f}%",
