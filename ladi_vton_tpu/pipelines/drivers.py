@@ -29,6 +29,15 @@ from ladi_vton_tpu.models.emasc import mask_features
 from ladi_vton_tpu.models.vae import DiagonalGaussian
 
 
+@jax.jit
+def _quantize_u8(images):
+    """Quantize [0,1] float images to uint8 ON DEVICE — the fetch then
+    moves 4x fewer bytes over PCIe (same rounding as the host path:
+    round-half-to-even, matching np.round)."""
+    x = jnp.clip(images.astype(jnp.float32), 0.0, 1.0)
+    return jnp.round(x * 255.0).astype(jnp.uint8)
+
+
 def _save_images(images: np.ndarray, names, categories, save_dir: str,
                  seen: set, use_png: bool = False):
     from PIL import Image
@@ -39,7 +48,10 @@ def _save_images(images: np.ndarray, names, categories, save_dir: str,
         seen.add((cat, name))
         cat_dir = os.path.join(save_dir, cat)
         os.makedirs(cat_dir, exist_ok=True)
-        pil = Image.fromarray((np.asarray(img) * 255).round().astype(np.uint8))
+        img = np.asarray(img)
+        if img.dtype != np.uint8:
+            img = (img * 255).round().astype(np.uint8)
+        pil = Image.fromarray(img)
         if use_png:
             pil.save(os.path.join(cat_dir, name.replace(".jpg", ".png")))
         else:
@@ -197,7 +209,8 @@ def generate_images_from_tryon_pipe(
         images = run(arrays["image"], arrays["mask"], arrays["pose"],
                      arrays["warped"], arrays["input_ids"],
                      arrays["clip_feats"], rng)
-        saver.push(images, batch["im_name"], batch["category"])
+        saver.push(_quantize_u8(images), batch["im_name"],
+                   batch["category"])
     saver.flush()
 
 
@@ -239,5 +252,6 @@ def extract_save_vae_images(
         images = recon(recon_params, jnp.asarray(batch["image"]),
                        jnp.asarray(batch["im_mask"]),
                        jnp.asarray(batch["inpaint_mask"]), rng)
-        saver.push(images, batch["im_name"], batch["category"])
+        saver.push(_quantize_u8(images), batch["im_name"],
+                   batch["category"])
     saver.flush()

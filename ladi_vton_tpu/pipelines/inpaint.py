@@ -142,7 +142,7 @@ def generate_images_inversion_adapter(
                            num_inference_steps=num_inference_steps,
                            guidance_scale=guidance_scale)
 
-    from ladi_vton_tpu.pipelines.drivers import _PipelinedSaver
+    from ladi_vton_tpu.pipelines.drivers import _PipelinedSaver, _quantize_u8
 
     saver = _PipelinedSaver(save_dir, use_png)
     for step, batch in enumerate(loader):
@@ -158,5 +158,6 @@ def generate_images_inversion_adapter(
                      jnp.asarray(batch["inpaint_mask"]),
                      jnp.asarray(batch["cloth"]), input_ids, feats,
                      jax.random.fold_in(root_key, step))
-        saver.push(images, batch["im_name"], batch["category"])
+        saver.push(_quantize_u8(images), batch["im_name"],
+                   batch["category"])
     saver.flush()

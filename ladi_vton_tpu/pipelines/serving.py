@@ -93,3 +93,112 @@ class TryOnService:
                 self._pad(prompt_embeds), self._pad(negative_prompt_embeds),
                 rng)
         return np.asarray(out)[:n]
+
+
+_REQUEST_KEYS = ("image", "inpaint_mask", "pose_map", "warped_cloth",
+                 "prompt_embeds", "negative_prompt_embeds")
+
+
+class MicroBatcher:
+    """Dynamic micro-batching front-end for :class:`TryOnService`.
+
+    Individual requests (each a dict of the six sampler arrays with a
+    leading sample axis) are submitted from any number of client
+    threads; a single dispatcher thread coalesces queued requests up to
+    the service's compiled ``batch_size`` — waiting at most
+    ``max_delay_ms`` after the first sample arrives — and runs ONE
+    padded device batch for the whole group.  Per-request results come
+    back through futures.  This converts low-concurrency request
+    streams into full compiled batches (the per-chip MFU sweet spot is
+    batch 8 — docs/PERF.md §7) without recompiling per request size.
+
+    Requests are never split across device batches: a request that
+    does not fit in the remaining capacity of the current group starts
+    the next group, so each future resolves from exactly one sampler
+    call.
+    """
+
+    def __init__(self, service, *, max_delay_ms: float = 25.0):
+        import queue
+
+        self.service = service
+        self.max_delay = max_delay_ms / 1e3
+        self._queue: "queue.Queue" = queue.Queue()
+        self._closed = False
+        self._dispatcher = threading.Thread(target=self._loop, daemon=True)
+        self._dispatcher.start()
+
+    def submit(self, request: dict):
+        """Queue one request; returns a ``concurrent.futures.Future``
+        resolving to that request's float32 [0,1] NHWC images."""
+        from concurrent.futures import Future
+
+        if self._closed:
+            raise RuntimeError("MicroBatcher is closed")
+        missing = [k for k in _REQUEST_KEYS if k not in request]
+        if missing:
+            raise ValueError(f"request missing arrays: {missing}")
+        n = request["image"].shape[0]
+        if not 1 <= n <= self.service.batch_size:
+            raise ValueError(
+                f"request size {n} outside [1, {self.service.batch_size}]")
+        fut = Future()
+        self._queue.put((request, n, fut))
+        return fut
+
+    def close(self):
+        """Drain outstanding requests and stop the dispatcher."""
+        if not self._closed:
+            self._closed = True
+            self._queue.put(None)
+            self._dispatcher.join()
+
+    def _collect_group(self):
+        """Block for the first request, then coalesce until the batch
+        is full, the delay budget lapses, or the next request would
+        overflow (it is pushed back for the next group)."""
+        import queue
+        import time
+
+        first = self._queue.get()
+        if first is None:
+            return None
+        group, total = [first], first[1]
+        deadline = time.monotonic() + self.max_delay
+        while total < self.service.batch_size:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                item = self._queue.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if item is None:
+                self._queue.put(None)  # re-raise the stop sentinel
+                break
+            if total + item[1] > self.service.batch_size:
+                self._queue.put(item)  # start the next group with it
+                break
+            group.append(item)
+            total += item[1]
+        return group
+
+    def _loop(self):
+        while True:
+            group = self._collect_group()
+            if group is None:
+                return
+            arrays = {
+                k: np.concatenate([np.asarray(req[k]) for req, _, _ in group])
+                for k in _REQUEST_KEYS
+            }
+            try:
+                out = self.service.generate(**arrays)
+            except Exception as e:  # resolve every waiter, don't die
+                for _, _, fut in group:
+                    fut.set_exception(e)
+                continue
+            off = 0
+            for _, n, fut in group:
+                fut.set_result(out[off:off + n])
+                off += n

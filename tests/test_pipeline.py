@@ -598,3 +598,145 @@ def test_cloth_gate_boundary_from_num_inference_steps():
     assert step(1) > 0.0  # cloth still conditions at i=1
     assert step(2) == 0.0  # zeroed exactly from i=2 on
     assert step(3) == 0.0
+
+
+def test_quantize_u8_matches_host_save_path():
+    """Device-side uint8 quantization (_quantize_u8) must reproduce the
+    host save path's (img*255).round().astype(uint8) exactly — the
+    pixel-parity driver tests depend on the saved bytes being
+    identical."""
+    from ladi_vton_tpu.pipelines.drivers import _quantize_u8
+
+    rng = np.random.default_rng(7)
+    # include exact .5/255 boundaries to pin the rounding mode
+    img = np.concatenate([
+        rng.random((1, 4, 4, 3)).astype(np.float32),
+        np.full((1, 4, 4, 3), 0.5 / 255, np.float32),
+        np.full((1, 4, 4, 3), 1.5 / 255, np.float32),
+    ])
+    ours = np.asarray(_quantize_u8(jnp.asarray(img)))
+    ref = (img * 255).round().astype(np.uint8)
+    assert ours.dtype == np.uint8
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_micro_batcher_coalesces_and_slices():
+    """MicroBatcher groups queued requests into one padded device batch
+    and resolves each future with exactly its own slice; a request that
+    would overflow the compiled batch starts the next group."""
+    from ladi_vton_tpu.pipelines.serving import MicroBatcher
+
+    class StubService:
+        batch_size = 8
+
+        def __init__(self):
+            self.calls = []
+
+        def generate(self, **arrays):
+            self.calls.append(arrays["image"].shape[0])
+            return arrays["image"] * 2.0
+
+    def req(n, val):
+        return {
+            "image": np.full((n, 4, 4, 3), val, np.float32),
+            "inpaint_mask": np.ones((n, 4, 4, 1), np.float32),
+            "pose_map": np.zeros((n, 4, 4, 18), np.float32),
+            "warped_cloth": np.zeros((n, 4, 4, 3), np.float32),
+            "prompt_embeds": np.zeros((n, 7, 64), np.float32),
+            "negative_prompt_embeds": np.zeros((n, 7, 64), np.float32),
+        }
+
+    svc = StubService()
+    mb = MicroBatcher(svc, max_delay_ms=2000.0)
+    try:
+        futs = [mb.submit(req(1, 1.0)), mb.submit(req(2, 2.0)),
+                mb.submit(req(1, 3.0))]
+        outs = [f.result(timeout=30) for f in futs]
+        assert [o.shape[0] for o in outs] == [1, 2, 1]
+        for out, val in zip(outs, [1.0, 2.0, 3.0]):
+            np.testing.assert_array_equal(out[..., 0],
+                                          np.full(out[..., 0].shape, 2 * val))
+        # the three requests (4 samples) ran as few coalesced calls, not 3
+        assert len(svc.calls) <= 2 and sum(svc.calls) == 4
+
+        # overflow: 6 then 4 cannot share an 8-batch -> two calls
+        svc.calls.clear()
+        f1, f2 = mb.submit(req(6, 4.0)), mb.submit(req(4, 5.0))
+        assert f1.result(timeout=30).shape[0] == 6
+        assert f2.result(timeout=30).shape[0] == 4
+        assert svc.calls == [6, 4]
+
+        # invalid request size rejected at submit time
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            mb.submit(req(9, 0.0))
+    finally:
+        mb.close()
+
+
+def test_micro_batcher_propagates_errors_and_survives():
+    from ladi_vton_tpu.pipelines.serving import MicroBatcher
+
+    class FlakyService:
+        batch_size = 4
+
+        def __init__(self):
+            self.fail_next = True
+
+        def generate(self, **arrays):
+            if self.fail_next:
+                self.fail_next = False
+                raise RuntimeError("boom")
+            return arrays["image"]
+
+    def req(n):
+        return {
+            "image": np.zeros((n, 4, 4, 3), np.float32),
+            "inpaint_mask": np.ones((n, 4, 4, 1), np.float32),
+            "pose_map": np.zeros((n, 4, 4, 18), np.float32),
+            "warped_cloth": np.zeros((n, 4, 4, 3), np.float32),
+            "prompt_embeds": np.zeros((n, 7, 64), np.float32),
+            "negative_prompt_embeds": np.zeros((n, 7, 64), np.float32),
+        }
+
+    svc = FlakyService()
+    mb = MicroBatcher(svc, max_delay_ms=10.0)
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError):
+            mb.submit(req(1)).result(timeout=30)
+        # dispatcher survived the failure and serves the next request
+        assert mb.submit(req(2)).result(timeout=30).shape[0] == 2
+    finally:
+        mb.close()
+
+
+def test_micro_batcher_end_to_end_tiny_service():
+    """Integration: MicroBatcher over a real TryOnService — two
+    single-sample requests coalesce into the compiled batch-2 program
+    and come back unpadded."""
+    from ladi_vton_tpu.pipelines.serving import MicroBatcher, TryOnService
+
+    pipe, params = _tiny_pipeline(with_emasc=True)
+    svc = TryOnService(pipe, params, batch_size=2, height=H, width=W,
+                       num_inference_steps=2, context_dim=64)
+    mb = MicroBatcher(svc, max_delay_ms=1000.0)
+    try:
+        def req():
+            return {
+                "image": np.zeros((1, H, W, 3), np.float32),
+                "inpaint_mask": np.ones((1, H, W, 1), np.float32),
+                "pose_map": np.zeros((1, H, W, 18), np.float32),
+                "warped_cloth": np.zeros((1, H, W, 3), np.float32),
+                "prompt_embeds": np.zeros((1, 7, 64), np.float32),
+                "negative_prompt_embeds": np.zeros((1, 7, 64), np.float32),
+            }
+
+        f1, f2 = mb.submit(req()), mb.submit(req())
+        o1, o2 = f1.result(timeout=600), f2.result(timeout=600)
+        assert o1.shape == (1, H, W, 3) and o2.shape == (1, H, W, 3)
+        assert np.isfinite(o1).all() and np.isfinite(o2).all()
+    finally:
+        mb.close()
