@@ -290,10 +290,33 @@ class CrossAttention(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, context: Optional[jax.Array] = None) -> jax.Array:
+    def __call__(self, x: jax.Array, context: Optional[jax.Array] = None,
+                 kv: Optional[tuple] = None) -> jax.Array:
         context = x if context is None else context
         inner = self.num_heads * self.head_dim
         H, D = self.num_heads, self.head_dim
+        if kv is not None:
+            # Pre-projected context K/V (hoisted out of the denoise
+            # scan — models/unet_condition.py precompute_context_kv).
+            # to_k/to_v are still declared so init() yields the full
+            # parameter tree either way.
+            _DenseParams((context.shape[-1], inner), use_bias=False,
+                         param_dtype=self.param_dtype, name="to_k")()
+            _DenseParams((context.shape[-1], inner), use_bias=False,
+                         param_dtype=self.param_dtype, name="to_v")()
+            q = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                         param_dtype=self.param_dtype, name="to_q")(x)
+            k, v = (a.astype(self.dtype) for a in kv)
+            B, Sq, _ = q.shape
+            Sk = k.shape[1]
+            impl = "auto" if self.attn_impl == "bhsd" else self.attn_impl
+            q = q.reshape(B, Sq, H, D)
+            k = k.reshape(B, Sk, H, D)
+            v = v.reshape(B, Sk, H, D)
+            out = dot_product_attention(q, k, v, impl=impl)
+            out = out.reshape(B, Sq, inner)
+            return nn.Dense(self.out_dim, dtype=self.dtype,
+                            param_dtype=self.param_dtype, name="to_out")(out)
         if self.attn_impl == "bhsd" and context.shape[1] > 128:
             cd = lambda a: a.astype(self.dtype)
             wq, _ = _DenseParams((x.shape[-1], inner), use_bias=False,
@@ -398,7 +421,8 @@ class BasicTransformerBlock(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, context: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, context: jax.Array,
+                 context_kv: Optional[tuple] = None) -> jax.Array:
         ln = lambda name: FusedLayerNorm(epsilon=1e-5, impl=self.ln_impl,
                                          dtype=self.dtype,
                                          param_dtype=self.param_dtype,
@@ -410,7 +434,8 @@ class BasicTransformerBlock(nn.Module):
         x = x + CrossAttention(self.num_heads, self.head_dim, self.dim,
                                attn_impl=self.attn_impl, dtype=self.dtype,
                                param_dtype=self.param_dtype,
-                               name="attn2")(ln("norm2")(x), context)
+                               name="attn2")(ln("norm2")(x), context,
+                                             kv=context_kv)
         x = x + FeedForwardGEGLU(self.dim, dtype=self.dtype,
                                  param_dtype=self.param_dtype,
                                  name="ff")(ln("norm3")(x))
@@ -433,7 +458,8 @@ class Transformer2D(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, context: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, context: jax.Array,
+                 kv_iter=None) -> jax.Array:
         B, H, W, C = x.shape
         inner = self.num_heads * self.head_dim
         residual = x
@@ -451,7 +477,9 @@ class Transformer2D(nn.Module):
             h = BasicTransformerBlock(
                 inner, self.num_heads, self.head_dim, attn_impl=self.attn_impl,
                 dtype=self.dtype, param_dtype=self.param_dtype,
-                name=f"transformer_blocks_{i}")(h, context)
+                name=f"transformer_blocks_{i}")(
+                h, context,
+                context_kv=None if kv_iter is None else next(kv_iter))
         if self.use_linear_projection:
             if self.proj_out_impl == "conv":
                 # Same math/params as the Dense, emitted as a 1x1 conv

@@ -73,6 +73,56 @@ def sd15_unet_config(in_channels: int = 31) -> UNetConfig:
     )
 
 
+def _attn2_param_trees(params, config: UNetConfig):
+    """attn2 parameter subtrees in exact UNet call order
+    (down blocks -> mid -> up blocks; layers within each block in
+    order).  Pinned against the live module by
+    tests/test_models.py::test_context_kv_hoisting_matches_inline."""
+    p = params["params"] if "params" in params else params
+
+    trees = []
+
+    def collect(transformer):
+        keys = sorted(
+            (k for k in transformer if k.startswith("transformer_blocks_")),
+            key=lambda s: int(s.rsplit("_", 1)[1]))
+        for k in keys:
+            trees.append(transformer[k]["attn2"])
+
+    n = len(config.block_out_channels)
+    for i in range(n):
+        if config.down_block_has_attn[i]:
+            for j in range(config.layers_per_block):
+                collect(p[f"down_blocks_{i}"][f"attentions_{j}"])
+    collect(p["mid_block"]["attentions_0"])
+    for i in range(n):
+        if config.up_block_has_attn[i]:
+            for j in range(config.layers_per_block + 1):
+                collect(p[f"up_blocks_{i}"][f"attentions_{j}"])
+    return trees
+
+
+def precompute_context_kv(params, context: jax.Array, config: UNetConfig,
+                          dtype=jnp.float32):
+    """Project ``context`` through every cross-attention's to_k/to_v
+    ONCE, for hoisting out of the denoise scan.
+
+    The prompt embeddings are constant across all denoise steps, so the
+    32 context projections (16 cross-attentions x K,V) are
+    loop-invariant; computing them outside ``lax.scan`` removes them
+    from every step (the reference recomputes them in each of the 50
+    UNet calls — diffusers' UNet has no KV cache).  Same dots on the
+    same values as the in-call path (``nn.Dense`` with
+    ``dtype=dtype``), so results are identical.
+    """
+    c = context.astype(dtype)
+    out = []
+    for tree in _attn2_param_trees(params, config):
+        out.append((c @ tree["to_k"]["kernel"].astype(dtype),
+                    c @ tree["to_v"]["kernel"].astype(dtype)))
+    return out
+
+
 class CrossAttnDownBlock(nn.Module):
     out_channels: int
     num_layers: int
@@ -86,7 +136,7 @@ class CrossAttnDownBlock(nn.Module):
     param_dtype: jnp.dtype
 
     @nn.compact
-    def __call__(self, x, temb, context):
+    def __call__(self, x, temb, context, kv_iter=None):
         skips = []
         for i in range(self.num_layers):
             x = ResnetBlock2D(self.out_channels, dtype=self.dtype,
@@ -97,7 +147,8 @@ class CrossAttnDownBlock(nn.Module):
                                   use_linear_projection=self.use_linear_projection,
                                   attn_impl=self.attn_impl, dtype=self.dtype,
                                   param_dtype=self.param_dtype,
-                                  name=f"attentions_{i}")(x, context)
+                                  name=f"attentions_{i}")(x, context,
+                                                          kv_iter=kv_iter)
             skips.append(x)
         if self.add_downsample:
             x = Downsample2D(self.out_channels, padding=1, dtype=self.dtype,
@@ -120,7 +171,7 @@ class CrossAttnUpBlock(nn.Module):
     param_dtype: jnp.dtype
 
     @nn.compact
-    def __call__(self, x, skips, temb, context):
+    def __call__(self, x, skips, temb, context, kv_iter=None):
         for i in range(self.num_layers):
             skip = skips.pop()
             x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
@@ -132,7 +183,8 @@ class CrossAttnUpBlock(nn.Module):
                                   use_linear_projection=self.use_linear_projection,
                                   attn_impl=self.attn_impl, dtype=self.dtype,
                                   param_dtype=self.param_dtype,
-                                  name=f"attentions_{i}")(x, context)
+                                  name=f"attentions_{i}")(x, context,
+                                                          kv_iter=kv_iter)
         if self.add_upsample:
             x = Upsample2D(self.out_channels, dtype=self.dtype,
                            param_dtype=self.param_dtype,
@@ -150,7 +202,7 @@ class UNetMidBlockCrossAttn(nn.Module):
     param_dtype: jnp.dtype
 
     @nn.compact
-    def __call__(self, x, temb, context):
+    def __call__(self, x, temb, context, kv_iter=None):
         x = ResnetBlock2D(self.channels, dtype=self.dtype,
                           param_dtype=self.param_dtype,
                           name="resnets_0")(x, temb)
@@ -158,7 +210,7 @@ class UNetMidBlockCrossAttn(nn.Module):
                           use_linear_projection=self.use_linear_projection,
                           attn_impl=self.attn_impl, dtype=self.dtype,
                           param_dtype=self.param_dtype,
-                          name="attentions_0")(x, context)
+                          name="attentions_0")(x, context, kv_iter=kv_iter)
         x = ResnetBlock2D(self.channels, dtype=self.dtype,
                           param_dtype=self.param_dtype,
                           name="resnets_1")(x, temb)
@@ -188,8 +240,10 @@ class UNet2DCondition(nn.Module):
         sample: jax.Array,
         timesteps: jax.Array,
         encoder_hidden_states: jax.Array,
+        context_kv: Optional[Sequence] = None,
     ) -> jax.Array:
         cfg = self.config
+        kv_iter = iter(context_kv) if context_kv is not None else None
         if timesteps.ndim == 0:
             timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
 
@@ -222,7 +276,7 @@ class UNet2DCondition(nn.Module):
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"down_blocks_{i}",
-            )(h, temb, context)
+            )(h, temb, context, kv_iter=kv_iter)
             skips.extend(block_skips)
 
         heads, hd = self._heads(cfg.block_out_channels[-1])
@@ -235,7 +289,7 @@ class UNet2DCondition(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="mid_block",
-        )(h, temb, context)
+        )(h, temb, context, kv_iter=kv_iter)
 
         reversed_channels = list(reversed(cfg.block_out_channels))
         for i, out_ch in enumerate(reversed_channels):
@@ -252,7 +306,12 @@ class UNet2DCondition(nn.Module):
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"up_blocks_{i}",
-            )(h, skips, temb, context)
+            )(h, skips, temb, context, kv_iter=kv_iter)
+
+        if kv_iter is not None and list(kv_iter):
+            raise ValueError(
+                "context_kv has more entries than the UNet has "
+                "cross-attentions — precompute/consumption order mismatch")
 
         h = GroupNorm(32, cfg.norm_eps, act="silu", dtype=self.dtype,
                       param_dtype=self.param_dtype, name="conv_norm_out")(h)

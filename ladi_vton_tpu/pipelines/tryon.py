@@ -81,6 +81,12 @@ class TryOnPipeline:
     emasc: Optional[EMASC] = None
     emasc_int_layers: Sequence[int] = (1, 2, 3, 4, 5)
     vae_scale_factor: int = 8
+    # Hoist the 32 loop-invariant cross-attn context projections out of
+    # the denoise scan (identical numbers — precompute_context_kv).
+    # Default pending a measured full-scan A/B on TPU
+    # (tools/perf.py kv-hoist-ab): XLA's while-loop LICM may or may not
+    # already hoist these dots.
+    hoist_context_kv: bool = False
 
     def sample(
         self,
@@ -200,7 +206,8 @@ class TryOnPipeline:
 
     def denoise_one_step(self, params, latents, sched_state, step_i, t, *,
                          mask_in, masked_in, pose_in, cloth_in, context,
-                         guidance_scale: float, cloth_gate_from: float):
+                         guidance_scale: float, cloth_gate_from: float,
+                         context_kv=None):
         """A single denoise update — the unit of the host-driven loop.
 
         Returns (new_latents, new_scheduler_state).  ``scale_input`` /
@@ -221,7 +228,8 @@ class TryOnPipeline:
         model_in = jnp.concatenate(parts, axis=-1)
         noise_pred = self.unet.apply(
             params["unet"], model_in,
-            jnp.broadcast_to(t, (model_in.shape[0],)), context)
+            jnp.broadcast_to(t, (model_in.shape[0],)), context,
+            context_kv=context_kv)
         if do_cfg:
             uncond, text = jnp.split(noise_pred, 2, axis=0)
             noise_pred = uncond + guidance_scale * (text - uncond)
@@ -241,6 +249,14 @@ class TryOnPipeline:
                                            cloth_cond_rate)
         mask_in, masked_in, pose_in, cloth_in, context = self._cfg_inputs(
             prepared, prompt_embeds, negative_prompt_embeds, do_cfg)
+        context_kv = None
+        if self.hoist_context_kv:
+            from ladi_vton_tpu.models.unet_condition import (
+                precompute_context_kv,
+            )
+
+            context_kv = precompute_context_kv(
+                params["unet"], context, self.unet.config, self.unet.dtype)
 
         def denoise_step(carry, step):
             latents, sched_state = carry
@@ -249,7 +265,8 @@ class TryOnPipeline:
                 params, latents, sched_state, i, t, mask_in=mask_in,
                 masked_in=masked_in, pose_in=pose_in, cloth_in=cloth_in,
                 context=context, guidance_scale=guidance_scale,
-                cloth_gate_from=cloth_gate_from), None
+                cloth_gate_from=cloth_gate_from,
+                context_kv=context_kv), None
 
         steps = (jnp.arange(n_loop), timesteps)
         carry0 = (latents, self.scheduler.init_loop_state(latents))

@@ -327,3 +327,37 @@ def test_cross_attention_bhsd_layout_matches_plain():
     b = bhsd.apply(variables, x, ctx)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_context_kv_hoisting_matches_inline():
+    """precompute_context_kv + context_kv= must reproduce the inline
+    path exactly (same dots on the same values) and cover every
+    cross-attention in call order."""
+    from ladi_vton_tpu.models.unet_condition import (
+        UNet2DCondition,
+        UNetConfig,
+        precompute_context_kv,
+    )
+
+    cfg = UNetConfig(in_channels=9, block_out_channels=(32, 64, 64, 64),
+                     head_dim=8, cross_attention_dim=48)
+    unet = UNet2DCondition(cfg, attn_impl="xla")
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 9)).astype(np.float32))
+    t = jnp.asarray([3, 7])
+    ctx = jnp.asarray(rng.standard_normal((2, 7, 48)).astype(np.float32))
+    variables = unet.init(jax.random.key(0), x, t, ctx)
+
+    base = unet.apply(variables, x, t, ctx)
+    kvs = precompute_context_kv(variables, ctx, cfg, jnp.float32)
+    # 3 attn down blocks x 2 layers + mid + 3 attn up blocks x 3 layers
+    assert len(kvs) == 16
+    hoisted = unet.apply(variables, x, t, ctx, context_kv=kvs)
+    np.testing.assert_allclose(np.asarray(hoisted), np.asarray(base),
+                               rtol=1e-6, atol=1e-6)
+
+    # too many entries -> loud order-mismatch error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        unet.apply(variables, x, t, ctx, context_kv=kvs + [kvs[0]])

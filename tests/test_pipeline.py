@@ -740,3 +740,29 @@ def test_micro_batcher_end_to_end_tiny_service():
         assert np.isfinite(o1).all() and np.isfinite(o2).all()
     finally:
         mb.close()
+
+
+def test_sample_with_kv_hoisting_matches():
+    """The full try-on sample is unchanged by hoist_context_kv — the
+    hoisted projections are the same dots moved out of the scan."""
+    import dataclasses as dc
+
+    pipe, params = _tiny_pipeline(with_emasc=True)
+    kwargs = dict(
+        image=jnp.zeros((1, H, W, 3)),
+        mask_image=jnp.ones((1, H, W, 1)),
+        pose_map=jnp.zeros((1, H, W, 18)),
+        warped_cloth=jnp.zeros((1, H, W, 3)),
+        prompt_embeds=jnp.asarray(
+            np.random.default_rng(5).standard_normal((1, 7, 64)),
+            dtype=jnp.float32),
+        negative_prompt_embeds=jnp.zeros((1, 7, 64)),
+        rng=jax.random.key(9),
+        num_inference_steps=2,
+        guidance_scale=7.5,
+    )
+    base = pipe.sample(params, **kwargs)
+    hoisted = dc.replace(pipe, hoist_context_kv=True).sample(
+        params, **kwargs)
+    np.testing.assert_allclose(np.asarray(hoisted), np.asarray(base),
+                               rtol=1e-5, atol=1e-6)

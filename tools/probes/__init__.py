@@ -40,4 +40,6 @@ PROBES = {
                        "isolate slow transformer projection dots"),
     "unet-trace": ("tools.probes.unet_trace",
                    "device-trace op-bucket attribution of the UNet step"),
+    "kv-hoist-ab": ("tools.probes.kv_hoist_ab",
+                    "denoise-scan A/B of cross-attn context-KV hoisting"),
 }
