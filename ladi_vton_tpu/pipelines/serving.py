@@ -202,3 +202,71 @@ class MicroBatcher:
             for _, n, fut in group:
                 fut.set_result(out[off:off + n])
                 off += n
+
+
+# ---------------------------------------------------------------------------
+# HTTP front-end (stdlib only): POST /tryon with an .npz of the six
+# sampler arrays -> .npz {"images": float32 [0,1] NHWC}; GET /healthz.
+# Requests from concurrent clients coalesce through the MicroBatcher
+# into full compiled device batches.
+
+def make_http_server(batcher: "MicroBatcher", host: str = "127.0.0.1",
+                     port: int = 8080, *, request_timeout_s: float = 600.0):
+    """Build (don't start) a ``ThreadingHTTPServer`` over ``batcher``.
+
+    Call ``.serve_forever()`` (blocking) or drive it from a thread;
+    ``.server_address`` carries the bound (host, port) — pass
+    ``port=0`` for an ephemeral port.
+    """
+    import io
+    import json
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet: stderr spam per request
+            pass
+
+        def _reply(self, code: int, body: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _json(self, code: int, obj):
+            self._reply(code, json.dumps(obj).encode(), "application/json")
+
+        def do_GET(self):
+            if self.path != "/healthz":
+                return self._json(404, {"error": "unknown path"})
+            svc = batcher.service
+            self._json(200, {
+                "status": "ok",
+                "batch_size": getattr(svc, "batch_size", None),
+                "height": getattr(svc, "height", None),
+                "width": getattr(svc, "width", None),
+                "queue_depth": batcher._queue.qsize(),
+            })
+
+        def do_POST(self):
+            if self.path != "/tryon":
+                return self._json(404, {"error": "unknown path"})
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                payload = np.load(io.BytesIO(self.rfile.read(n)))
+                request = {k: payload[k] for k in payload.files}
+            except Exception as e:
+                return self._json(400, {"error": f"bad npz payload: {e}"})
+            try:
+                fut = batcher.submit(request)
+            except (ValueError, RuntimeError) as e:
+                return self._json(400, {"error": str(e)})
+            try:
+                images = fut.result(timeout=request_timeout_s)
+            except Exception as e:
+                return self._json(500, {"error": str(e)})
+            buf = io.BytesIO()
+            np.savez_compressed(buf, images=images)
+            self._reply(200, buf.getvalue(), "application/octet-stream")
+
+    return ThreadingHTTPServer((host, port), Handler)

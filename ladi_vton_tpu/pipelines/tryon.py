@@ -226,10 +226,12 @@ class TryOnPipeline:
                               jnp.zeros_like(cloth_in), cloth_in)
             parts.append(gated.astype(lmi.dtype))
         model_in = jnp.concatenate(parts, axis=-1)
+        # kwarg only when hoisting is on: stub/alternate UNets need not
+        # know about context_kv
+        kv_kw = {} if context_kv is None else {"context_kv": context_kv}
         noise_pred = self.unet.apply(
             params["unet"], model_in,
-            jnp.broadcast_to(t, (model_in.shape[0],)), context,
-            context_kv=context_kv)
+            jnp.broadcast_to(t, (model_in.shape[0],)), context, **kv_kw)
         if do_cfg:
             uncond, text = jnp.split(noise_pred, 2, axis=0)
             noise_pred = uncond + guidance_scale * (text - uncond)

@@ -766,3 +766,73 @@ def test_sample_with_kv_hoisting_matches():
         params, **kwargs)
     np.testing.assert_allclose(np.asarray(hoisted), np.asarray(base),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_http_serving_layer_round_trips():
+    """HTTP front-end: npz request -> MicroBatcher -> npz response;
+    healthz reports geometry; malformed payloads get 400s."""
+    import io
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from ladi_vton_tpu.pipelines.serving import MicroBatcher, make_http_server
+
+    class StubService:
+        batch_size, height, width = 8, 4, 4
+
+        def generate(self, **arrays):
+            return arrays["image"] * 3.0
+
+    batcher = MicroBatcher(StubService(), max_delay_ms=5.0)
+    server = make_http_server(batcher, port=0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        host, port = server.server_address[:2]
+        base = f"http://{host}:{port}"
+
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            import json
+
+            health = json.loads(r.read())
+        assert health["status"] == "ok" and health["batch_size"] == 8
+
+        req = {
+            "image": np.full((2, 4, 4, 3), 0.1, np.float32),
+            "inpaint_mask": np.ones((2, 4, 4, 1), np.float32),
+            "pose_map": np.zeros((2, 4, 4, 18), np.float32),
+            "warped_cloth": np.zeros((2, 4, 4, 3), np.float32),
+            "prompt_embeds": np.zeros((2, 7, 64), np.float32),
+            "negative_prompt_embeds": np.zeros((2, 7, 64), np.float32),
+        }
+        buf = io.BytesIO()
+        np.savez_compressed(buf, **req)
+        r = urllib.request.urlopen(
+            urllib.request.Request(f"{base}/tryon", data=buf.getvalue(),
+                                   method="POST"), timeout=60)
+        out = np.load(io.BytesIO(r.read()))["images"]
+        np.testing.assert_allclose(out, req["image"] * 3.0, rtol=1e-6)
+
+        # malformed body -> 400, not a hung future
+        try:
+            urllib.request.urlopen(
+                urllib.request.Request(f"{base}/tryon", data=b"not-npz",
+                                       method="POST"), timeout=30)
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
+        # missing arrays -> 400 from submit-time validation
+        buf = io.BytesIO()
+        np.savez_compressed(buf, image=req["image"])
+        try:
+            urllib.request.urlopen(
+                urllib.request.Request(f"{base}/tryon", data=buf.getvalue(),
+                                       method="POST"), timeout=30)
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.shutdown()
+        batcher.close()
