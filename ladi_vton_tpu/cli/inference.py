@@ -90,11 +90,8 @@ def main(argv=None):
     from ladi_vton_tpu.core.rng import set_seed
     from ladi_vton_tpu.data import BatchLoader, DressCodeDataset, VitonHDDataset
     from ladi_vton_tpu.diffusion.schedulers import DDIMScheduler
-    from ladi_vton_tpu.diffusion.text import encode_text_word_embedding
     from ladi_vton_tpu.hub import zoo
     from ladi_vton_tpu.models.tps import ConvNetTPS  # noqa: F401 (docs)
-    from ladi_vton_tpu.ops.grid_sample import grid_sample
-    from ladi_vton_tpu.ops.resize import resize_bilinear
     from ladi_vton_tpu.pipelines.tryon import TryOnPipeline
     from ladi_vton_tpu.utils.tokenizer import CLIPTokenizer
     from ladi_vton_tpu.data.labels import CATEGORY_PROMPT_TEXT
@@ -155,10 +152,6 @@ def main(argv=None):
     loader = BatchLoader(dataset, args.batch_size,
                          num_workers=args.num_workers, pad_last=True)
 
-    # CLIP preprocessing constants (openai CLIP normalization)
-    clip_mean = jnp.asarray([0.48145466, 0.4578275, 0.40821073], dtype)
-    clip_std = jnp.asarray([0.26862954, 0.26130258, 0.27577711], dtype)
-
     # conditioning assembly compiles separately from the denoise scan so
     # no single XLA program becomes prohibitively large; the weight trees
     # travel as ARGUMENTS — closing over them would bake gigabytes of
@@ -167,39 +160,13 @@ def main(argv=None):
                             "vision": vision_vars, "adapter": adapter_vars,
                             "text": text_vars})
 
-    @jax.jit
-    def condition(cp, pose_map, cloth, im_mask, input_ids):
-        tps_vars, ref_vars = cp["tps"], cp["ref"]
-        vision_vars, adapter_vars = cp["vision"], cp["adapter"]
-        text_vars = cp["text"]
-        # 1. TPS warp at low res (reference src/inference.py:242-260)
-        low_cloth = resize_bilinear(cloth, (256, 192)).astype(jnp.float32)
-        low_mask = resize_bilinear(im_mask, (256, 192)).astype(jnp.float32)
-        low_pose = resize_bilinear(pose_map, (256, 192)).astype(jnp.float32)
-        agnostic = jnp.concatenate([low_mask, low_pose], axis=-1)
-        low_grid, *_ = tps.apply(tps_vars, low_cloth, agnostic)
-        grid = resize_bilinear(low_grid, (512, 384))
-        warped = grid_sample(cloth.astype(jnp.float32), grid,
-                             padding_mode="border")
-        # 2. refinement (reference :263-266)
-        ref_in = jnp.concatenate(
-            [im_mask.astype(jnp.float32), pose_map.astype(jnp.float32),
-             warped], axis=-1)
-        warped = refinement.apply(ref_vars, ref_in)
-        warped = jnp.clip(warped, -1.0, 1.0).astype(dtype)
-        # 3. CLIP vision -> PTEs (reference :269-277)
-        clip_in = resize_bilinear((cloth + 1.0) * 0.5, (224, 224))
-        clip_in = jnp.clip(clip_in, 0.0, 1.0)
-        clip_in = ((clip_in - clip_mean) / clip_std).astype(dtype)
-        vis_feats = vision.apply(vision_vars, clip_in)
-        ptes = adapter.apply(adapter_vars, vis_feats)
-        # 4. PTE-injected text encoding (reference :294-295)
-        ehs, _ = encode_text_word_embedding(text_model, text_vars,
-                                            input_ids, ptes,
-                                            args.num_vstar)
-        uncond_ids = jnp.broadcast_to(empty_ids, input_ids.shape)
-        neg_ehs, _ = text_model.apply(text_vars, uncond_ids)
-        return warped, ehs, neg_ehs
+    empty_ids = jnp.asarray(tokenizer([""])[0])
+    from ladi_vton_tpu.pipelines.condition import build_condition_fn
+
+    condition = build_condition_fn(
+        tps=tps, refinement=refinement, vision=vision, adapter=adapter,
+        text_model=text_model, num_vstar=args.num_vstar, dtype=dtype,
+        empty_ids=empty_ids)
 
     sampler = pipe.jit_sample(
         split=True, num_inference_steps=args.num_inference_steps,
@@ -214,15 +181,14 @@ def main(argv=None):
                        inpaint_mask.astype(dtype), pose_map.astype(dtype),
                        warped, ehs, neg_ehs, rng)
 
-    empty_ids = jnp.asarray(tokenizer([""])[0])
-
     save_dir = os.path.join(args.output_dir, args.test_order)
     os.makedirs(save_dir, exist_ok=True)
 
-    from PIL import Image
     from tqdm import tqdm
 
-    seen: set[str] = set()
+    from ladi_vton_tpu.pipelines.drivers import _PipelinedSaver, _quantize_u8
+
+    saver = _PipelinedSaver(save_dir, args.use_png)
     for step, batch in enumerate(tqdm(loader)):
         prompts = [
             f'a photo of a model wearing {CATEGORY_PROMPT_TEXT[c]} '
@@ -240,19 +206,9 @@ def main(argv=None):
             arrays["image"], arrays["inpaint_mask"], arrays["pose_map"],
             arrays["cloth"], arrays["im_mask"],
             put_data(input_ids), rng)
-        images = np.asarray(images)
-        for img, cat, name in zip(images, batch["category"],
-                                  batch["im_name"]):
-            if (cat, name) in seen:  # padded duplicate from the last batch
-                continue
-            seen.add((cat, name))
-            cat_dir = os.path.join(save_dir, cat)
-            os.makedirs(cat_dir, exist_ok=True)
-            pil = Image.fromarray((img * 255).round().astype(np.uint8))
-            if args.use_png:
-                pil.save(os.path.join(cat_dir, name.replace(".jpg", ".png")))
-            else:
-                pil.save(os.path.join(cat_dir, name), quality=95)
+        saver.push(_quantize_u8(images), batch["im_name"],
+                   batch["category"])
+    saver.flush()
 
     if args.compute_metrics:
         from ladi_vton_tpu.metrics.compute import compute_metrics

@@ -49,6 +49,17 @@ def parse_args(argv=None):
     ap.add_argument("--seed", type=int, default=1234)
     ap.add_argument("--no_warmup", action="store_true",
                     help="skip the compile-ahead warmup batch")
+    ap.add_argument("--enable_condition", action="store_true",
+                    help="also mount POST /condition (TPS warp + "
+                         "refinement + CLIP/PTE text encoding); needs "
+                         "--clip_vision_dir")
+    ap.add_argument("--clip_vision_dir", type=str, default=None,
+                    help="Local CLIP-ViT-H-14 model directory "
+                         "(for --enable_condition)")
+    ap.add_argument("--tokenizer_dir", type=str, default=None,
+                    help="vocab.json+merges.txt dir (defaults to "
+                         "<sd2_model_dir>/tokenizer)")
+    ap.add_argument("--num_vstar", type=int, default=16)
     return ap.parse_args(argv)
 
 
@@ -88,8 +99,42 @@ def main(argv=None):
         print("warming up (compiling the sampler)...", flush=True)
         service.warmup()
 
+    condition_service = None
+    if args.enable_condition:
+        import jax.numpy as jnp
+
+        from ladi_vton_tpu.pipelines.condition import build_condition_fn
+        from ladi_vton_tpu.pipelines.serving import ConditionService
+        from ladi_vton_tpu.utils.tokenizer import CLIPTokenizer
+        from pathlib import Path
+
+        adapter, adapter_vars = zoo.inversion_adapter(
+            args.dataset, checkpoint_dir=args.checkpoint_dir, dtype=dtype)
+        (tps, tps_vars), (refinement, ref_vars) = zoo.warping_module(
+            args.dataset, checkpoint_dir=args.checkpoint_dir)
+        text_model, text_vars = zoo.sd2_text_encoder(args.sd2_model_dir,
+                                                     dtype=dtype)
+        vision, vision_vars = zoo.clip_vit_h_vision(args.clip_vision_dir,
+                                                    dtype=dtype)
+        tokenizer = CLIPTokenizer.from_dir(
+            args.tokenizer_dir or str(Path(args.sd2_model_dir)
+                                      / "tokenizer"))
+        empty_ids = jnp.asarray(tokenizer([""])[0])
+        condition_fn = build_condition_fn(
+            tps=tps, refinement=refinement, vision=vision, adapter=adapter,
+            text_model=text_model, num_vstar=args.num_vstar, dtype=dtype,
+            empty_ids=empty_ids,
+            image_size=(args.height, args.width))
+        cond_params = {"tps": tps_vars, "ref": ref_vars,
+                       "vision": vision_vars, "adapter": adapter_vars,
+                       "text": text_vars}
+        condition_service = ConditionService(
+            condition_fn, cond_params, tokenizer,
+            batch_size=args.batch_size, num_vstar=args.num_vstar)
+
     batcher = MicroBatcher(service, max_delay_ms=args.max_delay_ms)
-    server = make_http_server(batcher, host=args.host, port=args.port)
+    server = make_http_server(batcher, host=args.host, port=args.port,
+                              condition_service=condition_service)
     host, port = server.server_address[:2]
     print(f"serving try-on on http://{host}:{port} "
           f"(batch {args.batch_size}, {args.num_inference_steps} steps)",

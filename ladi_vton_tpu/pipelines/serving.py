@@ -204,14 +204,64 @@ class MicroBatcher:
                 off += n
 
 
+class ConditionService:
+    """Pads/strips wrapper around the jitted conditioning program
+    (``pipelines.condition.build_condition_fn``): in-shop cloth +
+    pose/mask + category strings → warped cloth and prompt embeddings,
+    ready for the try-on sampler."""
+
+    def __init__(self, condition_fn, cond_params, tokenizer, *,
+                 batch_size: int = 8, num_vstar: int = 16):
+        from ladi_vton_tpu.data.labels import CATEGORY_PROMPT_TEXT
+
+        self.condition_fn = condition_fn
+        self.cond_params = cond_params
+        self.tokenizer = tokenizer
+        self.batch_size = batch_size
+        self.num_vstar = num_vstar
+        self._prompt_text = CATEGORY_PROMPT_TEXT
+        self._lock = threading.Lock()
+
+    def _pad(self, x: np.ndarray) -> jax.Array:
+        n = x.shape[0]
+        if n < self.batch_size:
+            x = np.concatenate([x] + [x[-1:]] * (self.batch_size - n))
+        elif n > self.batch_size:
+            raise ValueError(
+                f"request batch {n} exceeds compiled batch "
+                f"{self.batch_size}; split the request")
+        return jnp.asarray(x)
+
+    def run(self, *, cloth, pose_map, im_mask, categories):
+        """categories: sequence of n strings (dresses/upper_body/
+        lower_body).  Returns (warped_cloth, prompt_embeds,
+        negative_prompt_embeds) stripped back to n samples."""
+        n = cloth.shape[0]
+        prompts = [
+            f'a photo of a model wearing {self._prompt_text[str(c)]} '
+            f'{" $ " * self.num_vstar}'
+            for c in categories
+        ]
+        input_ids = np.asarray(self.tokenizer(prompts))
+        with self._lock:
+            warped, ehs, neg = self.condition_fn(
+                self.cond_params, self._pad(pose_map), self._pad(cloth),
+                self._pad(im_mask), self._pad(input_ids))
+        return (np.asarray(warped)[:n], np.asarray(ehs)[:n],
+                np.asarray(neg)[:n])
+
+
 # ---------------------------------------------------------------------------
 # HTTP front-end (stdlib only): POST /tryon with an .npz of the six
-# sampler arrays -> .npz {"images": float32 [0,1] NHWC}; GET /healthz.
-# Requests from concurrent clients coalesce through the MicroBatcher
-# into full compiled device batches.
+# sampler arrays -> .npz {"images": float32 [0,1] NHWC}; POST /condition
+# (when a ConditionService is mounted) with an .npz of cloth, pose_map,
+# im_mask, category -> .npz of warped_cloth + prompt embeddings;
+# GET /healthz.  /tryon requests from concurrent clients coalesce
+# through the MicroBatcher into full compiled device batches.
 
 def make_http_server(batcher: "MicroBatcher", host: str = "127.0.0.1",
-                     port: int = 8080, *, request_timeout_s: float = 600.0):
+                     port: int = 8080, *, request_timeout_s: float = 600.0,
+                     condition_service: Optional[ConditionService] = None):
     """Build (don't start) a ``ThreadingHTTPServer`` over ``batcher``.
 
     Call ``.serve_forever()`` (blocking) or drive it from a thread;
@@ -246,15 +296,30 @@ def make_http_server(batcher: "MicroBatcher", host: str = "127.0.0.1",
                 "height": getattr(svc, "height", None),
                 "width": getattr(svc, "width", None),
                 "queue_depth": batcher._queue.qsize(),
+                "condition": condition_service is not None,
             })
 
+        def _read_npz(self):
+            n = int(self.headers.get("Content-Length", "0"))
+            payload = np.load(io.BytesIO(self.rfile.read(n)),
+                              allow_pickle=False)
+            return {k: payload[k] for k in payload.files}
+
+        def _npz_reply(self, **arrays):
+            buf = io.BytesIO()
+            np.savez_compressed(buf, **arrays)
+            self._reply(200, buf.getvalue(), "application/octet-stream")
+
         def do_POST(self):
-            if self.path != "/tryon":
-                return self._json(404, {"error": "unknown path"})
+            if self.path == "/tryon":
+                return self._tryon()
+            if self.path == "/condition" and condition_service is not None:
+                return self._condition()
+            return self._json(404, {"error": "unknown path"})
+
+        def _tryon(self):
             try:
-                n = int(self.headers.get("Content-Length", "0"))
-                payload = np.load(io.BytesIO(self.rfile.read(n)))
-                request = {k: payload[k] for k in payload.files}
+                request = self._read_npz()
             except Exception as e:
                 return self._json(400, {"error": f"bad npz payload: {e}"})
             try:
@@ -265,8 +330,26 @@ def make_http_server(batcher: "MicroBatcher", host: str = "127.0.0.1",
                 images = fut.result(timeout=request_timeout_s)
             except Exception as e:
                 return self._json(500, {"error": str(e)})
-            buf = io.BytesIO()
-            np.savez_compressed(buf, images=images)
-            self._reply(200, buf.getvalue(), "application/octet-stream")
+            self._npz_reply(images=images)
+
+        def _condition(self):
+            try:
+                request = self._read_npz()
+                cloth = request["cloth"]
+                pose_map = request["pose_map"]
+                im_mask = request["im_mask"]
+                categories = [str(c) for c in request["category"]]
+            except Exception as e:
+                return self._json(400, {"error": f"bad npz payload: {e}"})
+            try:
+                warped, ehs, neg = condition_service.run(
+                    cloth=cloth, pose_map=pose_map, im_mask=im_mask,
+                    categories=categories)
+            except (KeyError, ValueError) as e:
+                return self._json(400, {"error": str(e)})
+            except Exception as e:
+                return self._json(500, {"error": str(e)})
+            self._npz_reply(warped_cloth=warped, prompt_embeds=ehs,
+                            negative_prompt_embeds=neg)
 
     return ThreadingHTTPServer((host, port), Handler)

@@ -836,3 +836,132 @@ def test_http_serving_layer_round_trips():
     finally:
         server.shutdown()
         batcher.close()
+
+
+def test_condition_fn_and_service_tiny_end_to_end():
+    """pipelines.condition.build_condition_fn (factored from
+    cli.inference — reference src/inference.py:242-295) runs the full
+    TPS warp -> refinement -> CLIP/PTE conditioning with tiny towers;
+    ConditionService pads a short request and strips the padding."""
+    from ladi_vton_tpu.models.clip import (
+        CLIPTextConfig,
+        CLIPTextModel,
+        CLIPVisionConfig,
+        CLIPVisionModel,
+    )
+    from ladi_vton_tpu.models.inversion_adapter import InversionAdapter
+    from ladi_vton_tpu.models.refinement import UNetVanilla
+    from ladi_vton_tpu.models.tps import ConvNetTPS
+    from ladi_vton_tpu.pipelines.condition import build_condition_fn
+    from ladi_vton_tpu.pipelines.serving import ConditionService
+
+    rng = jax.random.key(0)
+    TH, TW = 64, 48  # TPS grid size (4x stride-2 convs -> 4x3 features)
+    tps = ConvNetTPS(height=TH, width=TW, input_nc_b=21)
+    refinement = UNetVanilla()
+    vc = CLIPVisionConfig(hidden_size=16, num_hidden_layers=1,
+                          num_attention_heads=2, intermediate_size=32)
+    vision = CLIPVisionModel(vc)
+    text_model = CLIPTextModel(CLIPTextConfig(
+        vocab_size=300, hidden_size=32, num_hidden_layers=1,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=16))
+    num_vstar = 2
+    adapter = InversionAdapter(input_dim=16, hidden_dim=32,
+                               output_dim=32 * num_vstar,
+                               num_encoder_layers=1, vision_config=vc)
+
+    n_tokens = (224 // vc.patch_size) ** 2 + 1
+    cond_params = {
+        "tps": tps.init(rng, jnp.zeros((1, TH, TW, 3)),
+                        jnp.zeros((1, TH, TW, 21))),
+        "ref": refinement.init(rng, jnp.zeros((1, H, W, 24))),
+        "vision": vision.init(rng, jnp.zeros((1, 224, 224, 3))),
+        "adapter": adapter.init(rng, jnp.zeros((1, n_tokens, 16))),
+        "text": text_model.init(rng, jnp.zeros((1, 16), jnp.int32)),
+    }
+
+    class FakeTokenizer:
+        model_max_length = 16
+
+        def __call__(self, texts, **kw):
+            ids = np.zeros((len(texts), 16), np.int32)
+            for i, t in enumerate(texts):
+                if "$" in t:
+                    ids[i, 4:4 + num_vstar] = 259
+            return ids
+
+    tokenizer = FakeTokenizer()
+    condition = build_condition_fn(
+        tps=tps, refinement=refinement, vision=vision, adapter=adapter,
+        text_model=text_model, num_vstar=num_vstar, dtype=jnp.float32,
+        empty_ids=jnp.asarray(tokenizer([""])[0]),
+        image_size=(H, W), tps_size=(TH, TW))
+    svc = ConditionService(condition, cond_params, tokenizer,
+                           batch_size=2, num_vstar=num_vstar)
+
+    rng_np = np.random.default_rng(11)
+    warped, ehs, neg = svc.run(
+        cloth=rng_np.uniform(-1, 1, (1, H, W, 3)).astype(np.float32),
+        pose_map=rng_np.uniform(0, 1, (1, H, W, 18)).astype(np.float32),
+        im_mask=rng_np.uniform(-1, 1, (1, H, W, 3)).astype(np.float32),
+        categories=["dresses"])  # n=1 < batch 2: padding + strip
+    assert warped.shape == (1, H, W, 3)
+    assert ehs.shape == (1, 16, 32) and neg.shape == (1, 16, 32)
+    for a in (warped, ehs, neg):
+        assert np.isfinite(a).all()
+    assert warped.min() >= -1.0 and warped.max() <= 1.0
+    # conditional and unconditional embeddings must differ (PTE splice)
+    assert np.abs(ehs - neg).max() > 1e-6
+
+
+def test_http_condition_endpoint():
+    """POST /condition round-trips through a stub ConditionService."""
+    import io
+    import json
+    import threading
+    import urllib.request
+
+    from ladi_vton_tpu.pipelines.serving import MicroBatcher, make_http_server
+
+    class StubService:
+        batch_size, height, width = 8, 4, 4
+
+        def generate(self, **arrays):
+            return arrays["image"]
+
+    class StubCondition:
+        def run(self, *, cloth, pose_map, im_mask, categories):
+            n = cloth.shape[0]
+            assert list(categories) == ["upper_body", "dresses"]
+            return (cloth * 0.5, np.ones((n, 7, 64), np.float32),
+                    np.zeros((n, 7, 64), np.float32))
+
+    batcher = MicroBatcher(StubService(), max_delay_ms=5.0)
+    server = make_http_server(batcher, port=0,
+                              condition_service=StubCondition())
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        host, port = server.server_address[:2]
+        base = f"http://{host}:{port}"
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            assert json.loads(r.read())["condition"] is True
+
+        buf = io.BytesIO()
+        np.savez_compressed(
+            buf,
+            cloth=np.full((2, 4, 4, 3), 0.8, np.float32),
+            pose_map=np.zeros((2, 4, 4, 18), np.float32),
+            im_mask=np.zeros((2, 4, 4, 3), np.float32),
+            category=np.asarray(["upper_body", "dresses"]))
+        r = urllib.request.urlopen(
+            urllib.request.Request(f"{base}/condition", data=buf.getvalue(),
+                                   method="POST"), timeout=60)
+        out = np.load(io.BytesIO(r.read()))
+        np.testing.assert_allclose(out["warped_cloth"],
+                                   np.full((2, 4, 4, 3), 0.4), rtol=1e-6)
+        assert out["prompt_embeds"].shape == (2, 7, 64)
+        assert out["negative_prompt_embeds"].shape == (2, 7, 64)
+    finally:
+        server.shutdown()
+        batcher.close()
