@@ -965,3 +965,64 @@ def test_http_condition_endpoint():
     finally:
         server.shutdown()
         batcher.close()
+
+
+def test_tryon_client_round_trips_and_surfaces_errors():
+    """client.TryOnClient against the in-process HTTP server: tryon +
+    condition + healthz round-trip; server-side errors surface as
+    ServingError with the JSON detail."""
+    import threading
+
+    from ladi_vton_tpu.client import ServingError, TryOnClient
+    from ladi_vton_tpu.pipelines.serving import MicroBatcher, make_http_server
+
+    class StubService:
+        batch_size, height, width = 8, 4, 4
+
+        def generate(self, **arrays):
+            return arrays["image"] + 1.0
+
+    class StubCondition:
+        def run(self, *, cloth, pose_map, im_mask, categories):
+            n = cloth.shape[0]
+            return (cloth, np.ones((n, 7, 64), np.float32),
+                    np.zeros((n, 7, 64), np.float32))
+
+    batcher = MicroBatcher(StubService(), max_delay_ms=5.0)
+    server = make_http_server(batcher, port=0,
+                              condition_service=StubCondition())
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        host, port = server.server_address[:2]
+        client = TryOnClient(f"http://{host}:{port}")
+        assert client.healthz()["condition"] is True
+
+        cond = client.condition(
+            cloth=np.zeros((1, 4, 4, 3), np.float32),
+            pose_map=np.zeros((1, 4, 4, 18), np.float32),
+            im_mask=np.zeros((1, 4, 4, 3), np.float32),
+            categories=["dresses"])
+        images = client.tryon(
+            image=np.full((1, 4, 4, 3), 0.25, np.float32),
+            inpaint_mask=np.ones((1, 4, 4, 1), np.float32),
+            pose_map=np.zeros((1, 4, 4, 18), np.float32),
+            warped_cloth=cond["warped_cloth"],
+            prompt_embeds=cond["prompt_embeds"],
+            negative_prompt_embeds=cond["negative_prompt_embeds"])
+        np.testing.assert_allclose(images,
+                                   np.full((1, 4, 4, 3), 1.25), rtol=1e-6)
+
+        import pytest as _pytest
+
+        with _pytest.raises(ServingError) as exc:
+            client.tryon(
+                image=np.zeros((9, 4, 4, 3), np.float32),  # > batch_size
+                inpaint_mask=np.ones((9, 4, 4, 1), np.float32),
+                pose_map=np.zeros((9, 4, 4, 18), np.float32),
+                warped_cloth=np.zeros((9, 4, 4, 3), np.float32),
+                prompt_embeds=np.zeros((9, 7, 64), np.float32),
+                negative_prompt_embeds=np.zeros((9, 7, 64), np.float32))
+        assert exc.value.code == 400 and "outside" in exc.value.detail
+    finally:
+        server.shutdown()
+        batcher.close()
