@@ -256,3 +256,92 @@ def test_vitonhd_masks_match_reference(vitonhd_fixture, both_items):
     theirs_mask = _chw_to_hwc(ref["inpaint_mask"].numpy())[..., 0]
     agree = (ours["inpaint_mask"][..., 0] == theirs_mask).mean()
     assert agree > 0.98, f"vitonhd inpaint mask agreement {agree:.4f}"
+
+
+def test_clip_tokenizer_matches_transformers(tmp_path):
+    """Our BPE tokenizer vs the installed transformers CLIPTokenizer on
+    the same vocab/merges files (the synthetic byte-level vocab
+    tools/make_weights.py ships, '$</w>'=259 — the PTE splice id the
+    reference hardcodes, encode_text_word_embedding.py:12-35).  Padded
+    id matrices must be identical, including truncation."""
+    import json
+
+    from transformers import CLIPTokenizer as HFTokenizer
+
+    from ladi_vton_tpu.utils.tokenizer import CLIPTokenizer, _bytes_to_unicode
+
+    syms = list(_bytes_to_unicode().values())
+    vocab, i = {}, 0
+    for s in syms:
+        if s not in vocab:
+            vocab[s] = i
+            i += 1
+    for s in syms:
+        if s + "</w>" not in vocab:
+            vocab[s + "</w>"] = i
+            i += 1
+    assert vocab["$</w>"] == 259
+    vocab["<|startoftext|>"] = 49406
+    vocab["<|endoftext|>"] = 49407
+    (tmp_path / "vocab.json").write_text(json.dumps(vocab))
+    (tmp_path / "merges.txt").write_text("#version: 0.2\n")
+
+    ours = CLIPTokenizer.from_dir(str(tmp_path))
+    theirs = HFTokenizer(vocab_file=str(tmp_path / "vocab.json"),
+                         merges_file=str(tmp_path / "merges.txt"))
+
+    prompts = [
+        "",
+        "a photo of a model wearing a dress " + " $ " * 16,
+        "a photo of a model wearing an upper body garment",
+        "Hello, WORLD!! 123",
+        "don't stop; it's fine...",
+        "x " * 100,  # > 77 tokens: truncation semantics
+    ]
+    ours_ids = np.asarray(ours(prompts))
+    theirs_ids = np.asarray(
+        theirs(prompts, padding="max_length", max_length=77,
+               truncation=True)["input_ids"])
+    np.testing.assert_array_equal(ours_ids, theirs_ids)
+
+
+def test_clip_tokenizer_bpe_merges_match_transformers(tmp_path):
+    """BPE merge RANKING parity (the synthetic zero-merge vocab skips
+    it): a small merge table must apply in the same greedy rank order
+    in both tokenizers."""
+    import json
+
+    from transformers import CLIPTokenizer as HFTokenizer
+
+    from ladi_vton_tpu.utils.tokenizer import CLIPTokenizer, _bytes_to_unicode
+
+    syms = list(_bytes_to_unicode().values())
+    vocab, i = {}, 0
+    for s in syms:
+        if s not in vocab:
+            vocab[s] = i
+            i += 1
+    for s in syms:
+        if s + "</w>" not in vocab:
+            vocab[s + "</w>"] = i
+            i += 1
+    merges = ["t h", "th e</w>", "i n", "in g</w>", "e r</w>", "a t"]
+    for m in merges:
+        tok = m.replace(" ", "")
+        if tok not in vocab:
+            vocab[tok] = len(vocab) + 1000
+    vocab["<|startoftext|>"] = 49406
+    vocab["<|endoftext|>"] = 49407
+    (tmp_path / "vocab.json").write_text(json.dumps(vocab))
+    (tmp_path / "merges.txt").write_text(
+        "#version: 0.2\n" + "\n".join(merges) + "\n")
+
+    ours = CLIPTokenizer.from_dir(str(tmp_path))
+    theirs = HFTokenizer(vocab_file=str(tmp_path / "vocab.json"),
+                         merges_file=str(tmp_path / "merges.txt"))
+    prompts = ["the thing is resting", "thermal testing matters",
+               "at the gathering", "thee theater"]
+    np.testing.assert_array_equal(
+        np.asarray(ours(prompts)),
+        np.asarray(theirs(prompts, padding="max_length", max_length=77,
+                          truncation=True)["input_ids"]))
