@@ -62,7 +62,12 @@ class UNetVanilla(nn.Module):
             if self.bilinear:
                 h = resize_bilinear(h, (h.shape[1] * 2, h.shape[2] * 2),
                                     align_corners=True)
-                mid = h.shape[-1] // 2
+                # reference Up: DoubleConv(in_channels, out,
+                # mid=in_channels // 2) where in_channels counts the
+                # CONCATENATED skip+upsampled tensor
+                # (unet_parts.py:42-51) — pinned by the
+                # reference-module activation-parity test
+                mid = (skip.shape[-1] + h.shape[-1]) // 2
             else:
                 h = nn.ConvTranspose(h.shape[-1] // 2, (2, 2),
                                      strides=(2, 2), dtype=self.dtype,

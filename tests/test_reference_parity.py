@@ -345,3 +345,208 @@ def test_clip_tokenizer_bpe_merges_match_transformers(tmp_path):
         np.asarray(ours(prompts)),
         np.asarray(theirs(prompts, padding="max_length", max_length=77,
                           truncation=True)["input_ids"]))
+
+
+def _randomize_bn_buffers(module, seed):
+    """Non-trivial BatchNorm running stats so eval-mode parity actually
+    exercises the converted buffers."""
+    import torch
+
+    g = np.random.default_rng(seed)
+    for name, buf in module.named_buffers():
+        if name.endswith("running_mean"):
+            buf.copy_(torch.from_numpy(
+                g.normal(0, 0.5, buf.shape).astype(np.float32)))
+        elif name.endswith("running_var"):
+            buf.copy_(torch.from_numpy(
+                g.uniform(0.5, 1.5, buf.shape).astype(np.float32)))
+
+
+def test_tps_activations_match_reference_module():
+    """Drive the reference's ACTUAL ConvNet_TPS (torch, eval mode,
+    randomized BN stats) and our flax ConvNetTPS on converted weights:
+    the output warp grids must match.  This pins the whole stage-1
+    conversion chain — feature towers, correlation, bounded regression,
+    TPS solve, grid conventions (reference ConvNet_TPS.py:287-337)."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from ladi_vton_tpu.hub.convert import convert_tps
+    from ladi_vton_tpu.models.tps import ConvNetTPS
+
+    sys.path.insert(0, str(REFERENCE))
+    try:
+        from src.models.ConvNet_TPS import ConvNet_TPS
+    finally:
+        sys.path.remove(str(REFERENCE))
+
+    # canonical 256x192: the reference regression tower hardcodes 192
+    # correlation channels = (256/16)*(192/16) (ConvNet_TPS.py:91)
+    TH, TW = 256, 192
+    torch.manual_seed(0)
+    ref = ConvNet_TPS(TH, TW, input_nc=21, n_layer=3)
+    _randomize_bn_buffers(ref, seed=1)
+    ref.eval()
+
+    g = np.random.default_rng(2)
+    cloth = g.uniform(-1, 1, (1, 3, TH, TW)).astype(np.float32)
+    agn = g.uniform(-1, 1, (1, 21, TH, TW)).astype(np.float32)
+    # the reference's regularizer path hardcodes .cuda()
+    # (ConvNet_TPS.py:212-215); shim it to a no-op on this CPU image —
+    # the grid output under test doesn't involve those tensors
+    orig_cuda = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    try:
+        with torch.no_grad():
+            ref_grid = ref(torch.from_numpy(cloth),
+                           torch.from_numpy(agn))[0].numpy()
+    finally:
+        torch.Tensor.cuda = orig_cuda
+
+    state = {k: v.numpy() for k, v in ref.state_dict().items()}
+    ours = ConvNetTPS(height=TH, width=TW, input_nc_b=21)
+    variables = jax.tree_util.tree_map(jnp.asarray, convert_tps(state))
+    our_grid = np.asarray(ours.apply(
+        variables, jnp.asarray(np.transpose(cloth, (0, 2, 3, 1))),
+        jnp.asarray(np.transpose(agn, (0, 2, 3, 1))))[0])
+
+    assert our_grid.shape == ref_grid.shape == (1, TH, TW, 2)
+    np.testing.assert_allclose(our_grid, ref_grid, rtol=1e-4, atol=1e-4)
+
+
+def test_refinement_activations_match_reference_module():
+    """Reference UNetVanilla (bilinear, eval, randomized BN stats) vs
+    our flax refinement tower on converted weights (reference
+    src/models/UNet.py + train_tps.py:388-391)."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from ladi_vton_tpu.hub.convert import convert_refinement
+    from ladi_vton_tpu.models.refinement import UNetVanilla as OurUNet
+
+    sys.path.insert(0, str(REFERENCE))
+    try:
+        from src.models.UNet import UNetVanilla
+    finally:
+        sys.path.remove(str(REFERENCE))
+
+    torch.manual_seed(3)
+    ref = UNetVanilla(n_channels=24, n_classes=3, bilinear=True)
+    _randomize_bn_buffers(ref, seed=4)
+    ref.eval()
+
+    g = np.random.default_rng(5)
+    x = g.uniform(-1, 1, (2, 24, 64, 48)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x)).numpy()
+
+    state = {k: v.numpy() for k, v in ref.state_dict().items()}
+    ours = OurUNet(out_channels=3, bilinear=True)
+    variables = jax.tree_util.tree_map(jnp.asarray,
+                                       convert_refinement(state))
+    our_out = np.asarray(ours.apply(
+        variables, jnp.asarray(np.transpose(x, (0, 2, 3, 1)))))
+
+    np.testing.assert_allclose(
+        our_out, np.transpose(ref_out, (0, 2, 3, 1)),
+        rtol=1e-4, atol=1e-4)
+
+
+def test_emasc_activations_match_reference_module():
+    """Reference EMASC (both linear and nonlinear variants) vs ours on
+    converted weights (reference src/models/emasc.py)."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from ladi_vton_tpu.hub.convert import convert_emasc
+    from ladi_vton_tpu.models.emasc import EMASC as OurEMASC
+
+    sys.path.insert(0, str(REFERENCE))
+    try:
+        from src.models.emasc import EMASC
+    finally:
+        sys.path.remove(str(REFERENCE))
+
+    in_ch, out_ch = (8, 16, 32), (16, 16, 32)
+    g = np.random.default_rng(6)
+    feats = [g.uniform(-1, 1, (2, c, 16, 12)).astype(np.float32)
+             for c in in_ch]
+    for kind in ("linear", "nonlinear"):
+        torch.manual_seed(7)
+        ref = EMASC(list(in_ch), list(out_ch), type=kind).eval()
+        # linear EMASC zero-inits; randomize so parity is non-trivial
+        with torch.no_grad():
+            for p in ref.parameters():
+                p.copy_(torch.from_numpy(
+                    g.normal(0, 0.1, p.shape).astype(np.float32)))
+        with torch.no_grad():
+            ref_out = [o.numpy() for o in
+                       (ref.conv[i](torch.from_numpy(f))
+                        for i, f in enumerate(feats))]
+
+        state = {k: v.numpy() for k, v in ref.state_dict().items()}
+        ours = OurEMASC(in_channels=in_ch, out_channels=out_ch, kind=kind)
+        variables = jax.tree_util.tree_map(jnp.asarray,
+                                           convert_emasc(state, kind))
+        our_out = ours.apply(
+            variables,
+            [jnp.asarray(np.transpose(f, (0, 2, 3, 1))) for f in feats])
+        for a, b in zip(our_out, ref_out):
+            np.testing.assert_allclose(
+                np.asarray(a), np.transpose(b, (0, 2, 3, 1)),
+                rtol=1e-4, atol=1e-5, err_msg=kind)
+
+
+def test_inversion_adapter_activations_match_reference_module():
+    """Reference InversionAdapter (transformers CLIPEncoderLayer inside)
+    vs ours on converted weights (reference
+    src/models/inversion_adapter.py)."""
+    import torch
+    from transformers import CLIPVisionConfig as HFVisionConfig
+
+    import jax
+    import jax.numpy as jnp
+
+    from ladi_vton_tpu.hub.convert import convert_inversion_adapter
+    from ladi_vton_tpu.models.clip import CLIPVisionConfig
+    from ladi_vton_tpu.models.inversion_adapter import InversionAdapter
+
+    sys.path.insert(0, str(REFERENCE))
+    try:
+        from src.models.inversion_adapter import (
+            InversionAdapter as RefAdapter,
+        )
+    finally:
+        sys.path.remove(str(REFERENCE))
+
+    # hidden_act='gelu' matches the actual deployment (the reference
+    # passes the CLIP ViT-H/14 vision config, whose act is plain gelu)
+    hf_cfg = HFVisionConfig(hidden_size=16, num_attention_heads=2,
+                            intermediate_size=32, hidden_act="gelu")
+    # newer transformers route attention via config._attn_implementation
+    hf_cfg._attn_implementation = "eager"
+    torch.manual_seed(8)
+    ref = RefAdapter(input_dim=16, hidden_dim=24, output_dim=40,
+                     config=hf_cfg, num_encoder_layers=2).eval()
+
+    g = np.random.default_rng(9)
+    x = g.uniform(-1, 1, (2, 5, 16)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x)).numpy()
+
+    state = {k: v.numpy() for k, v in ref.state_dict().items()}
+    ours = InversionAdapter(
+        input_dim=16, hidden_dim=24, output_dim=40, num_encoder_layers=2,
+        vision_config=CLIPVisionConfig(hidden_size=16,
+                                       num_attention_heads=2,
+                                       intermediate_size=32))
+    variables = jax.tree_util.tree_map(jnp.asarray,
+                                       convert_inversion_adapter(state))
+    our_out = np.asarray(ours.apply(variables, jnp.asarray(x)))
+    np.testing.assert_allclose(our_out, ref_out, rtol=1e-4, atol=1e-5)
