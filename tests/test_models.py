@@ -361,3 +361,33 @@ def test_context_kv_hoisting_matches_inline():
 
     with _pytest.raises(ValueError):
         unet.apply(variables, x, t, ctx, context_kv=kvs + [kvs[0]])
+
+
+def test_unet_sd15_conv_projection_variant():
+    """SD-1.5-style UNet (conv proj_in/out, fixed 8 heads) forward +
+    context-KV hoisting parity on that variant (reference loads either
+    family; hubconf.py picks per dataset)."""
+    from ladi_vton_tpu.models.unet_condition import (
+        UNet2DCondition,
+        UNetConfig,
+        precompute_context_kv,
+    )
+
+    cfg = UNetConfig(in_channels=9, block_out_channels=(32, 32, 64, 64),
+                     head_dim=-1, cross_attention_dim=48,
+                     use_linear_projection=False)
+    unet = UNet2DCondition(cfg, attn_impl="xla")
+    rng = np.random.default_rng(21)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 9)).astype(np.float32))
+    t = jnp.asarray([1, 5])
+    ctx = jnp.asarray(rng.standard_normal((2, 7, 48)).astype(np.float32))
+    variables = unet.init(jax.random.key(1), x, t, ctx)
+    base = unet.apply(variables, x, t, ctx)
+    assert base.shape == (2, 8, 8, 4)
+    assert np.isfinite(np.asarray(base)).all()
+
+    kvs = precompute_context_kv(variables, ctx, cfg, jnp.float32)
+    assert len(kvs) == 16
+    hoisted = unet.apply(variables, x, t, ctx, context_kv=kvs)
+    np.testing.assert_allclose(np.asarray(hoisted), np.asarray(base),
+                               rtol=1e-6, atol=1e-6)
