@@ -231,3 +231,54 @@ def test_cached_convert_roundtrip_and_hit(tmp_path, monkeypatch):
     src.write_bytes(b"0" * 256)
     zoo._cached_convert(src, "testtag", convert)
     assert len(calls) == 2
+
+
+def test_vgg19_activations_match_torch_functional():
+    """Independent torch transcription of the torchvision VGG19
+    ``features`` stack (convs at the canonical indices, ReLU after
+    each, MaxPool before blocks 2-5) vs our flax tower on converted
+    weights — activation parity for every perceptual-loss tap
+    (reference loss: src/utils/vgg_loss.py:7-68)."""
+    import torch
+    import torch.nn.functional as F
+
+    from ladi_vton_tpu.models.vgg import VGG19Features
+
+    rng = np.random.default_rng(17)
+    chans = [(3, 64), (64, 64), (64, 128), (128, 128), (128, 256),
+             (256, 256), (256, 256), (256, 256), (256, 512), (512, 512),
+             (512, 512), (512, 512), (512, 512)]
+    tv_idx = (0, 2, 5, 7, 10, 12, 14, 16, 19, 21, 23, 25, 28)
+    state = {}
+    for (cin, cout), ti in zip(chans, tv_idx):
+        state[f"features.{ti}.weight"] = rng.standard_normal(
+            (cout, cin, 3, 3)).astype(np.float32) * 0.05
+        state[f"features.{ti}.bias"] = rng.standard_normal(
+            cout).astype(np.float32) * 0.01
+
+    x = rng.standard_normal((1, 3, 32, 32)).astype(np.float32)
+
+    # torch-side oracle: pool precedes convs 5, 10, 19, 28
+    taps, h = [], torch.from_numpy(x)
+    pooled_before = {5, 10, 19, 28}
+    tap_after = {0, 5, 10, 19, 28}
+    with torch.no_grad():
+        for (cin, cout), ti in zip(chans, tv_idx):
+            if ti in pooled_before:
+                h = F.max_pool2d(h, 2, 2)
+            h = F.relu(F.conv2d(h, torch.from_numpy(state[f"features.{ti}.weight"]),
+                                torch.from_numpy(state[f"features.{ti}.bias"]),
+                                padding=1))
+            if ti in tap_after:
+                taps.append(h.numpy())
+
+    vgg = VGG19Features()
+    variables = jax.tree_util.tree_map(jnp.asarray, convert_vgg19(state))
+    ours = vgg.apply(variables, jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
+    assert len(ours) == len(taps) == 5
+    for a, b in zip(ours, taps):
+        # 13 chained fp32 convs accumulate ~1e-4 relative reorder noise
+        # (XLA vs oneDNN summation order)
+        np.testing.assert_allclose(np.asarray(a),
+                                   np.transpose(b, (0, 2, 3, 1)),
+                                   rtol=2e-3, atol=1e-3)
