@@ -125,6 +125,12 @@ class MicroBatcher:
         self.max_delay = max_delay_ms / 1e3
         self._queue: "queue.Queue" = queue.Queue()
         self._closed = False
+        # observability: batch fill rate = samples_done / (batches_done
+        # * batch_size); surfaced by /healthz
+        self.requests_done = 0
+        self.samples_done = 0
+        self.batches_done = 0
+        self.errors = 0
         self._dispatcher = threading.Thread(target=self._loop, daemon=True)
         self._dispatcher.start()
 
@@ -195,6 +201,7 @@ class MicroBatcher:
             try:
                 out = self.service.generate(**arrays)
             except Exception as e:  # resolve every waiter, don't die
+                self.errors += 1
                 for _, _, fut in group:
                     fut.set_exception(e)
                 continue
@@ -202,6 +209,9 @@ class MicroBatcher:
             for _, n, fut in group:
                 fut.set_result(out[off:off + n])
                 off += n
+            self.batches_done += 1
+            self.requests_done += len(group)
+            self.samples_done += off
 
 
 class ConditionService:
@@ -297,6 +307,10 @@ def make_http_server(batcher: "MicroBatcher", host: str = "127.0.0.1",
                 "width": getattr(svc, "width", None),
                 "queue_depth": batcher._queue.qsize(),
                 "condition": condition_service is not None,
+                "requests_done": batcher.requests_done,
+                "samples_done": batcher.samples_done,
+                "batches_done": batcher.batches_done,
+                "errors": batcher.errors,
             })
 
         def _read_npz(self):
