@@ -550,3 +550,53 @@ def test_inversion_adapter_activations_match_reference_module():
                                        convert_inversion_adapter(state))
     our_out = np.asarray(ours.apply(variables, jnp.asarray(x)))
     np.testing.assert_allclose(our_out, ref_out, rtol=1e-4, atol=1e-5)
+
+
+def test_clip_tokenizer_fuzz_matches_transformers(tmp_path):
+    """Seeded fuzz: random printable strings (punctuation runs, mixed
+    case, contractions, unicode whitespace) tokenize identically."""
+    import json
+    import string
+
+    from transformers import CLIPTokenizer as HFTokenizer
+
+    from ladi_vton_tpu.utils.tokenizer import CLIPTokenizer, _bytes_to_unicode
+
+    syms = list(_bytes_to_unicode().values())
+    vocab, i = {}, 0
+    for s in syms:
+        if s not in vocab:
+            vocab[s] = i
+            i += 1
+    for s in syms:
+        if s + "</w>" not in vocab:
+            vocab[s + "</w>"] = i
+            i += 1
+    merges = ["t h", "th e</w>", "e r", "er s</w>", "a n", "an d</w>"]
+    for m in merges:
+        tok = m.replace(" ", "")
+        if tok not in vocab:
+            vocab[tok] = len(vocab) + 2000
+    vocab["<|startoftext|>"] = 49406
+    vocab["<|endoftext|>"] = 49407
+    (tmp_path / "vocab.json").write_text(json.dumps(vocab))
+    (tmp_path / "merges.txt").write_text(
+        "#version: 0.2\n" + "\n".join(merges) + "\n")
+
+    ours = CLIPTokenizer.from_dir(str(tmp_path))
+    theirs = HFTokenizer(vocab_file=str(tmp_path / "vocab.json"),
+                         merges_file=str(tmp_path / "merges.txt"))
+
+    rng = np.random.default_rng(31)
+    alphabet = (string.ascii_letters + string.digits +
+                string.punctuation + "     \t")
+    prompts = []
+    for _ in range(48):
+        n = int(rng.integers(0, 40))
+        prompts.append("".join(rng.choice(list(alphabet), size=n)))
+    prompts += ["it's the thermals' fault!!!", "   leading spaces",
+                "trailing   ", "don't---stop", "a$b$c $ $$"]
+    np.testing.assert_array_equal(
+        np.asarray(ours(prompts)),
+        np.asarray(theirs(prompts, padding="max_length", max_length=77,
+                          truncation=True)["input_ids"]))
