@@ -222,3 +222,71 @@ def test_lms_recovers_x0_with_perfect_model():
         eps = (np.asarray(x) - x0) / sigma
         derivs, x = sched.step(derivs, jnp.asarray(eps), i, x)
     np.testing.assert_allclose(np.asarray(x), x0, atol=1e-3)
+
+
+def test_lms_coefficients_integrate_polynomials_exactly():
+    """Sharp oracle on the LMS integration coefficients: an order-k
+    Lagrange multistep is exact for derivative histories polynomial of
+    degree < k in sigma, so sum_j coeff[t,j] * p(sigma_{t-j}) must equal
+    the exact integral of p over [sigma_t, sigma_{t+1}] (the k-LMS
+    construction the reference gets from diffusers)."""
+    from ladi_vton_tpu.diffusion.schedulers import LMSDiscreteScheduler
+
+    sched = LMSDiscreteScheduler()
+    sched.set_timesteps(12)
+    coeffs = np.asarray(sched._coeffs, np.float64)
+    sig = np.asarray(sched.sigmas, np.float64)
+
+    for step in range(12):
+        order = min(step + 1, sched.order)
+        for deg in range(order):  # exact for all deg < order
+            # p(s) = s^deg; exact integral over [sig[step], sig[step+1]]
+            exact = (sig[step + 1] ** (deg + 1)
+                     - sig[step] ** (deg + 1)) / (deg + 1)
+            approx = sum(coeffs[step, j] * sig[step - j] ** deg
+                         for j in range(order))
+            np.testing.assert_allclose(
+                approx, exact, rtol=5e-4, atol=1e-8,
+                err_msg=f"step={step} deg={deg} order={order}")
+
+
+def test_pndm_plms_blend_weights_are_adams_bashforth_4():
+    """Probe the steady-state PLMS update through the public step API:
+    with zero sample the output is linear in the epsilon history, and
+    the weights must be the 4th-order Adams-Bashforth blend
+    (55, -59, 37, -9)/24 over (current, t-1, t-2, t-3), with the
+    oldest slot dropped (the PNDM paper's PLMS; diffusers
+    PNDMScheduler.step_plms semantics)."""
+    from ladi_vton_tpu.diffusion.schedulers import PNDMScheduler
+
+    sched = PNDMScheduler()
+    ts = np.asarray(sched.set_timesteps(10))
+    t = int(ts[6])
+    shape = (1, 1)
+
+    def out(model_output_val, ets_slot=None):
+        state = sched.init_state(shape)
+        ets = np.zeros((4, 1, 1), np.float32)
+        if ets_slot is not None:
+            ets[ets_slot] = 1.0
+        state = {**state,
+                 "ets": jnp.asarray(ets),
+                 "ets_count": jnp.asarray(4, jnp.int32),
+                 "counter": jnp.asarray(5, jnp.int32)}
+        _, prev = sched.step(state,
+                             jnp.full(shape, model_output_val,
+                                      jnp.float32),
+                             jnp.asarray(t), jnp.zeros(shape))
+        return float(np.asarray(prev)[0, 0])
+
+    w_cur = out(1.0)
+    w_m1 = out(0.0, ets_slot=3)  # most recent history
+    w_m2 = out(0.0, ets_slot=2)
+    w_m3 = out(0.0, ets_slot=1)
+    w_dropped = out(0.0, ets_slot=0)  # falls out of the 4-window
+
+    assert w_cur != 0.0
+    np.testing.assert_allclose(w_m1 / w_cur, -59 / 55, rtol=1e-5)
+    np.testing.assert_allclose(w_m2 / w_cur, 37 / 55, rtol=1e-5)
+    np.testing.assert_allclose(w_m3 / w_cur, -9 / 55, rtol=1e-5)
+    np.testing.assert_allclose(w_dropped, 0.0, atol=1e-8)
