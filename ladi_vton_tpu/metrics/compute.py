@@ -64,23 +64,38 @@ def _gen_image_paths(gen_folder: str, category: str) -> dict[str, str]:
     return out
 
 
-def _load_batch(paths: List[str], size: tuple[int, int]) -> np.ndarray:
+def _load_batch(paths: List[str], size: tuple[int, int],
+                pool=None) -> np.ndarray:
+    """Decode+resize a batch; ``pool`` (ThreadPoolExecutor) parallelizes
+    the PIL work (decode/resize release the GIL) like the reference's
+    DataLoader workers (val_metrics.py --workers)."""
     from PIL import Image
 
     h, w = size
     out = np.empty((len(paths), h, w, 3), np.float32)
-    for i, p in enumerate(paths):
+
+    def load(i_p):
+        i, p = i_p
         img = Image.open(p).convert("RGB").resize((w, h), Image.BILINEAR)
         out[i] = np.asarray(img, np.float32) / 255.0
+
+    if pool is not None and len(paths) > 1:
+        list(pool.map(load, enumerate(paths)))
+    else:
+        for ip in enumerate(paths):
+            load(ip)
     return out
 
 
-def _load_batch_u8(paths: List[str]) -> np.ndarray:
+def _load_batch_u8(paths: List[str], pool=None) -> np.ndarray:
     from PIL import Image
 
-    return np.stack([
-        np.asarray(Image.open(p).convert("RGB"), np.uint8) for p in paths
-    ])
+    def load(p):
+        return np.asarray(Image.open(p).convert("RGB"), np.uint8)
+
+    if pool is not None and len(paths) > 1:
+        return np.stack(list(pool.map(load, paths)))
+    return np.stack([load(p) for p in paths])
 
 
 class MetricModels:
@@ -202,13 +217,16 @@ def compute_metrics(
             lambda a, b: lp_model.apply(lp_vars, a, b, normalize=True))
     ssim_apply = jax.jit(ssim_fn)
 
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(workers) if workers > 1 else None
     for start in range(0, len(names), batch_size):
         chunk = names[start:start + batch_size]
         gen_batch = _load_batch([gen_paths[n] for n in chunk],
-                                generated_size)
+                                generated_size, pool)
         if "ssim_score" in metrics2compute or need_lpips:
             gt_batch = _load_batch([gt_paths[n] for n in chunk],
-                                   generated_size)
+                                   generated_size, pool)
         if "ssim_score" in metrics2compute:
             ssim_vals.append(float(ssim_apply(jnp.asarray(gen_batch),
                                               jnp.asarray(gt_batch))))
@@ -241,7 +259,7 @@ def compute_metrics(
                          gt_names[start:start + batch_size]]
                 # clean-fid builds stats from the raw GT images (uniform
                 # native resolution per dataset)
-                u8 = _load_batch_u8(chunk)
+                u8 = _load_batch_u8(chunk, pool)
                 f, _ = inc_apply(jnp.asarray(clean_resize_to_299(u8)))
                 feats.append(np.asarray(f))
             feats = np.concatenate(feats)
@@ -263,6 +281,8 @@ def compute_metrics(
             is_mean, _ = inception_score(np.concatenate(gen_logits))
             results["is_score"] = is_mean
 
+    if pool is not None:
+        pool.shutdown()
     return results
 
 
