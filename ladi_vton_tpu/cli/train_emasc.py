@@ -26,7 +26,7 @@ def parse_args(argv=None):
     p.add_argument("--train_batch_size", type=int, default=16)
     p.add_argument("--test_batch_size", type=int, default=16)
     p.add_argument("--num_train_epochs", type=int, default=100)
-    p.add_argument("--max_train_steps", type=int, default=200001)
+    p.add_argument("--max_train_steps", type=int, default=40001)
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
     p.add_argument("--learning_rate", type=float, default=1e-5)
     p.add_argument("--lr_scheduler", type=str,
@@ -119,14 +119,17 @@ def main(argv=None):
                          num_workers=args.num_workers, drop_last=True,
                          seed=args.seed)
 
-    step_fn = make_emasc_train_step(vae=vae, emasc=emasc, vgg=vgg,
-                                    vgg_weight=args.vgg_weight)
+    step_fn = make_emasc_train_step(
+        vae=vae, emasc=emasc, vgg=vgg, vgg_weight=args.vgg_weight,
+        gradient_accumulation_steps=args.gradient_accumulation_steps)
     tx = make_optimizer(args.learning_rate, adam_beta1=args.adam_beta1,
                         adam_beta2=args.adam_beta2,
                         adam_eps=args.adam_epsilon,
                         weight_decay=args.adam_weight_decay,
                         max_grad_norm=args.max_grad_norm,
-                        warmup_steps=args.lr_warmup_steps)
+                        warmup_steps=args.lr_warmup_steps,
+                        lr_scheduler=args.lr_scheduler,
+                        total_steps=args.max_train_steps)
     state = TrainState.create({"emasc": emasc_vars}, tx)
     frozen = {"vae": vae_vars, "vgg": vgg_vars}
 

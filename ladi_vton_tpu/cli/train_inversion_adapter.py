@@ -114,8 +114,17 @@ def main(argv=None):
                                                  dtype=dtype)
     tokenizer = CLIPTokenizer.from_dir(
         args.tokenizer_dir or str(Path(args.sd2_model_dir) / "tokenizer"))
-    # stock 9-channel inpainting UNet, frozen
-    unet9 = UNet2DCondition(sd2_unet_config(9), dtype=dtype)
+    # stock 9-channel inpainting UNet, frozen (but backprop flows
+    # THROUGH it to the adapter, so rematerialize it under
+    # --gradient_checkpointing — reference
+    # train_inversion_adapter.py:262-264; the UNet dominates the
+    # activation footprint, the text encoder's share is negligible)
+    if args.gradient_checkpointing:
+        from flax import linen as nn
+
+        unet9 = nn.remat(UNet2DCondition)(sd2_unet_config(9), dtype=dtype)
+    else:
+        unet9 = UNet2DCondition(sd2_unet_config(9), dtype=dtype)
     unet9_vars = zoo._to_jax(C.convert_unet(
         zoo._load_model_dir_state(args.sd2_model_dir, "unet")))
 
@@ -146,13 +155,16 @@ def main(argv=None):
     step_fn = make_inversion_adapter_train_step(
         unet9=unet9, vae=vae, text_model=text_model,
         inversion_adapter=adapter, noise_scheduler=DDPMScheduler(),
-        num_vstar=args.num_vstar)
+        num_vstar=args.num_vstar,
+        gradient_accumulation_steps=args.gradient_accumulation_steps)
     tx = make_optimizer(args.learning_rate, adam_beta1=args.adam_beta1,
                         adam_beta2=args.adam_beta2,
                         adam_eps=args.adam_epsilon,
                         weight_decay=args.adam_weight_decay,
                         max_grad_norm=args.max_grad_norm,
-                        warmup_steps=args.lr_warmup_steps)
+                        warmup_steps=args.lr_warmup_steps,
+                        lr_scheduler=args.lr_scheduler,
+                        total_steps=args.max_train_steps)
     state = TrainState.create({"adapter": adapter_vars}, tx)
     frozen = {"vae": vae_vars, "text": text_vars, "unet": unet9_vars}
 

@@ -224,9 +224,9 @@ def main(argv=None):
         adam_beta2=args.adam_beta2, adam_eps=args.adam_epsilon,
         weight_decay=args.adam_weight_decay,
         max_grad_norm=args.max_grad_norm,
-        warmup_steps=(args.lr_warmup_steps
-                      if args.lr_scheduler == "constant_with_warmup"
-                      else 0))
+        warmup_steps=args.lr_warmup_steps,
+        lr_scheduler=args.lr_scheduler,
+        total_steps=args.max_train_steps)
     trainable = {"unet": unet_vars}
     if args.train_inversion_adapter:
         trainable["adapter"] = adapter_vars

@@ -58,20 +58,117 @@ class TrainState(struct.PyTreeNode):
                             opt_state=new_opt)
 
 
+def make_lr_schedule(name: str, lr: float, warmup_steps: int = 0,
+                     total_steps: Optional[int] = None,
+                     lr_end: float = 1e-7, power: float = 1.0):
+    """The reference's diffusers ``get_scheduler`` union
+    (src/train_emasc.py:303-308, train_vto.py:443-448): linear | cosine
+    | cosine_with_restarts | polynomial | constant |
+    constant_with_warmup.  Our optimizer steps once per UPDATE (the
+    reference steps its scheduler per micro-step and scales
+    warmup/total by gradient_accumulation_steps — same lr-vs-update
+    trajectory), so pass UPDATE counts here."""
+    if name == "constant":
+        return lr
+    if name == "constant_with_warmup":
+        if warmup_steps <= 0:
+            return lr
+        return optax.join_schedules(
+            [optax.linear_schedule(0.0, lr, warmup_steps),
+             optax.constant_schedule(lr)], [warmup_steps])
+    if total_steps is None:
+        raise ValueError(f"lr scheduler {name!r} needs total_steps")
+    decay = max(total_steps - warmup_steps, 1)
+    if name == "linear":
+        tail = optax.linear_schedule(lr, 0.0, decay)
+    elif name in ("cosine", "cosine_with_restarts"):
+        # diffusers defaults: cosine num_cycles=0.5 (one half-wave to
+        # 0); cosine_with_restarts num_cycles=1 is the same curve
+        tail = optax.cosine_decay_schedule(lr, decay, alpha=0.0)
+    elif name == "polynomial":
+        # diffusers polynomial: (lr - lr_end)*(1-progress)^power+lr_end
+        tail = lambda step: ((lr - lr_end)
+                             * (1 - jnp.minimum(step, decay) / decay)
+                             ** power + lr_end)
+    else:
+        raise ValueError(f"unknown lr scheduler {name!r}")
+    if warmup_steps <= 0:
+        return tail
+    return optax.join_schedules(
+        [optax.linear_schedule(0.0, lr, warmup_steps), tail],
+        [warmup_steps])
+
+
 def make_optimizer(lr: float = 1e-5, *, adam_beta1=0.9, adam_beta2=0.999,
                    adam_eps=1e-8, weight_decay=1e-2, max_grad_norm=1.0,
-                   warmup_steps: int = 0):
+                   warmup_steps: int = 0,
+                   lr_scheduler: str = "constant_with_warmup",
+                   total_steps: Optional[int] = None):
     """AdamW + global-norm clip, mirroring the reference flags
-    (src/train_vto.py:99-136: lr 1e-5, wd 1e-2, clip 1.0)."""
-    if warmup_steps > 0:
-        schedule = optax.linear_schedule(0.0, lr, warmup_steps)
-    else:
-        schedule = lr
+    (src/train_vto.py:99-136: lr 1e-5, wd 1e-2, clip 1.0) with the
+    diffusers lr-scheduler union."""
+    schedule = make_lr_schedule(lr_scheduler, lr, warmup_steps,
+                                total_steps)
     return optax.chain(
         optax.clip_by_global_norm(max_grad_norm),
         optax.adamw(schedule, b1=adam_beta1, b2=adam_beta2, eps=adam_eps,
                     weight_decay=weight_decay),
     )
+
+
+def build_train_step(loss_fn_aux: Callable,
+                     gradient_accumulation_steps: int = 1) -> Callable:
+    """Turn ``loss_fn_aux(params, frozen, batch, rng) -> (loss,
+    metrics_dict)`` into a TrainState step, with optional in-step
+    microbatch gradient accumulation (reference: accelerate.accumulate,
+    src/train_vto.py:519): the global batch reshapes to (A, b, ...) and
+    a ``lax.scan`` accumulates grads before ONE optimizer update —
+    numerically the averaged-microbatch update
+    (tests/test_models.py grad-accum equivalence)."""
+    grad_fn = jax.value_and_grad(loss_fn_aux, has_aux=True)
+    A = gradient_accumulation_steps
+
+    if A <= 1:
+        def step(state: TrainState, frozen, batch, rng):
+            (loss, metrics), grads = grad_fn(state.params, frozen,
+                                             batch, rng)
+            state = state.apply_gradients(grads)
+            return state, {"loss": loss, **metrics}
+
+        return step
+
+    def accum_step(state: TrainState, frozen, batch, rng):
+        def reshape(x):
+            return x.reshape(A, x.shape[0] // A, *x.shape[1:])
+
+        micro = jax.tree_util.tree_map(reshape, batch)
+        first = jax.tree_util.tree_map(lambda x: x[0], micro)
+        m_tmpl = jax.eval_shape(
+            lambda p, f, b, r: loss_fn_aux(p, f, b, r)[1],
+            state.params, frozen, first, rng)
+
+        def body(carry, inp):
+            acc, loss_sum, msum = carry
+            mb, mb_rng = inp
+            (loss, metrics), grads = grad_fn(state.params, frozen, mb,
+                                             mb_rng)
+            acc = jax.tree_util.tree_map(jnp.add, acc, grads)
+            msum = jax.tree_util.tree_map(jnp.add, msum, metrics)
+            return (acc, loss_sum + loss, msum), None
+
+        zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        mzero = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), m_tmpl)
+        rngs = jax.random.split(rng, A)
+        (grads, loss_sum, msum), _ = jax.lax.scan(
+            body, (zero, jnp.asarray(0.0, jnp.float32), mzero),
+            (micro, rngs))
+        grads = jax.tree_util.tree_map(lambda g: g / A, grads)
+        state = state.apply_gradients(grads)
+        metrics = jax.tree_util.tree_map(lambda m: m / A, msum)
+        return state, {"loss": loss_sum / A, **metrics}
+
+    return accum_step
 
 
 @dataclasses.dataclass(frozen=True)
@@ -185,48 +282,14 @@ def make_vto_train_step(
         )
         return loss
 
-    def step(state: TrainState, frozen, batch, rng):
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, frozen,
-                                                  batch, rng)
-        state = state.apply_gradients(grads)
-        return state, {"loss": loss}
-
-    if cfg.gradient_accumulation_steps <= 1:
-        return step
-
-    # microbatch gradient accumulation inside one jitted step
-    # (reference uses accelerate.accumulate, src/train_vto.py:519);
-    # here the global batch reshapes to (A, b, ...) and a lax.scan
-    # accumulates grads before one optimizer update.
-    A = cfg.gradient_accumulation_steps
-
-    def accum_step(state: TrainState, frozen, batch, rng):
-        def reshape(x):
-            return x.reshape(A, x.shape[0] // A, *x.shape[1:])
-
-        micro = jax.tree_util.tree_map(reshape, batch)
-        grad_fn = jax.value_and_grad(loss_fn)
-
-        def body(carry, inp):
-            acc, loss_sum = carry
-            mb, mb_rng = inp
-            loss, grads = grad_fn(state.params, frozen, mb, mb_rng)
-            acc = jax.tree_util.tree_map(jnp.add, acc, grads)
-            return (acc, loss_sum + loss), None
-
-        zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
-        rngs = jax.random.split(rng, A)
-        (grads, loss_sum), _ = jax.lax.scan(
-            body, (zero, jnp.asarray(0.0, jnp.float32)), (micro, rngs))
-        grads = jax.tree_util.tree_map(lambda g: g / A, grads)
-        state = state.apply_gradients(grads)
-        return state, {"loss": loss_sum / A}
-
-    return accum_step
+    return build_train_step(
+        lambda p, f, b, r: (loss_fn(p, f, b, r), {}),
+        cfg.gradient_accumulation_steps)
 
 
 def make_emasc_train_step(*, vae, emasc, vgg, int_layers=(1, 2, 3, 4, 5),
-                          vgg_weight: float = 0.5) -> Callable:
+                          vgg_weight: float = 0.5,
+                          gradient_accumulation_steps: int = 1) -> Callable:
     """EMASC training step (reference src/train_emasc.py:386-418).
 
     L1(recon, image) + vgg_weight * VGG, VAE frozen; recon decodes the
@@ -252,15 +315,9 @@ def make_emasc_train_step(*, vae, emasc, vgg, int_layers=(1, 2, 3, 4, 5),
         l1 = jnp.mean(jnp.abs(recon.astype(jnp.float32)
                               - image.astype(jnp.float32)))
         perceptual = vgg_loss(vgg, frozen["vgg"], recon, image)
-        return l1 + vgg_weight * perceptual, (l1, perceptual)
+        return l1 + vgg_weight * perceptual, {"l1": l1, "vgg": perceptual}
 
-    def step(state: TrainState, frozen, batch, rng):
-        (loss, (l1, perc)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, frozen, batch, rng)
-        state = state.apply_gradients(grads)
-        return state, {"loss": loss, "l1": l1, "vgg": perc}
-
-    return step
+    return build_train_step(loss_fn, gradient_accumulation_steps)
 
 
 def _zero1_leaf_spec(shape, n_shards: int):

@@ -169,6 +169,7 @@ def make_inversion_adapter_train_step(
     noise_scheduler: DDPMScheduler,
     num_vstar: int = 16,
     num_train_timesteps: int = 1000,
+    gradient_accumulation_steps: int = 1,
 ) -> Callable:
     """Stage-3 step: train only the adapter through the frozen stock
     inpaint UNet (reference src/train_inversion_adapter.py:443-515).
@@ -214,10 +215,8 @@ def make_inversion_adapter_train_step(
         return jnp.mean(jnp.square(
             pred.astype(jnp.float32) - noise.astype(jnp.float32)))
 
-    def step(state, frozen, batch, rng):
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, frozen,
-                                                  batch, rng)
-        state = state.apply_gradients(grads)
-        return state, {"loss": loss}
+    from ladi_vton_tpu.train.steps import build_train_step
 
-    return step
+    return build_train_step(
+        lambda p, f, b, r: (loss_fn(p, f, b, r), {}),
+        gradient_accumulation_steps)

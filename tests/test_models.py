@@ -391,3 +391,112 @@ def test_unet_sd15_conv_projection_variant():
     hoisted = unet.apply(variables, x, t, ctx, context_kv=kvs)
     np.testing.assert_allclose(np.asarray(hoisted), np.asarray(base),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_lr_schedule_union_matches_diffusers_semantics():
+    """make_lr_schedule mirrors diffusers get_scheduler
+    (reference src/train_emasc.py:303-308): warmup ramp, then the
+    name-specific decay; endpoint values checked per name."""
+    from ladi_vton_tpu.train.steps import make_lr_schedule
+
+    lr, warm, total = 1e-3, 100, 1100
+
+    def val(s, step):
+        return float(s(step)) if callable(s) else float(s)
+
+    s = make_lr_schedule("constant", lr)
+    assert val(s, 0) == lr
+
+    s = make_lr_schedule("constant_with_warmup", lr, warm)
+    assert val(s, 0) == 0.0
+    np.testing.assert_allclose(val(s, 50), lr / 2, rtol=1e-6)
+    np.testing.assert_allclose(val(s, warm), lr, rtol=1e-6)
+    np.testing.assert_allclose(val(s, 10 * total), lr, rtol=1e-6)
+
+    s = make_lr_schedule("linear", lr, warm, total)
+    np.testing.assert_allclose(val(s, warm), lr, rtol=1e-6)
+    np.testing.assert_allclose(val(s, (warm + total) // 2), lr / 2,
+                               rtol=1e-2)
+    np.testing.assert_allclose(val(s, total), 0.0, atol=1e-9)
+
+    s = make_lr_schedule("cosine", lr, warm, total)
+    np.testing.assert_allclose(val(s, warm), lr, rtol=1e-6)
+    np.testing.assert_allclose(val(s, total), 0.0, atol=1e-9)
+    mid = val(s, (warm + total) // 2)
+    assert 0.0 < mid < lr  # strictly inside the half-cosine
+
+    s = make_lr_schedule("polynomial", lr, warm, total)
+    np.testing.assert_allclose(val(s, warm), lr, rtol=1e-6)
+    np.testing.assert_allclose(val(s, total), 1e-7, rtol=1e-3)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        make_lr_schedule("linear", lr, warm, None)
+    with _pytest.raises(ValueError):
+        make_lr_schedule("nope", lr, warm, total)
+
+
+def test_emasc_grad_accumulation_equivalence():
+    """Same equivalence as the VTO test, through the shared
+    build_train_step path with aux metrics: A=2 emasc step == averaged
+    microbatch SGD updates; metrics average over microbatches."""
+    import optax
+
+    from ladi_vton_tpu.models.emasc import EMASC
+    from ladi_vton_tpu.models.vae import AutoencoderKL, VAEConfig
+    from ladi_vton_tpu.models.vgg import VGG19Features
+    from ladi_vton_tpu.train.steps import TrainState, make_emasc_train_step
+
+    rng = jax.random.key(0)
+    vae = AutoencoderKL(VAEConfig(block_out_channels=(32, 32, 64, 64)))
+    emasc = EMASC(in_channels=(32, 32, 32, 32, 64),
+                  out_channels=(32, 32, 64, 64, 64))
+    vgg = VGG19Features()
+    H = W = 32
+    vae_vars = vae.init(rng, jnp.zeros((1, H, W, 3)))
+    _, feats = vae.apply(vae_vars, jnp.zeros((1, H, W, 3)),
+                         method="encode")
+    emasc_vars = emasc.init(rng, [jnp.zeros_like(feats[i])
+                                  for i in (1, 2, 3, 4, 5)])
+    g = np.random.default_rng(1)
+    vgg_vars = jax.tree_util.tree_map(
+        lambda x: x, VGG19Features().init(
+            jax.random.key(2), jnp.zeros((1, 32, 32, 3))))
+
+    batch = {
+        "image": jnp.asarray(g.uniform(-1, 1, (4, H, W, 3)),
+                             jnp.float32),
+        "im_mask": jnp.asarray(g.uniform(-1, 1, (4, H, W, 3)),
+                               jnp.float32),
+        "inpaint_mask": jnp.asarray(
+            (g.uniform(size=(4, H, W, 1)) > 0.5), jnp.float32),
+    }
+    frozen = {"vae": vae_vars, "vgg": vgg_vars}
+    tx = optax.sgd(1e-3)
+    rng_step = jax.random.key(7)
+
+    accum = make_emasc_train_step(vae=vae, emasc=emasc, vgg=vgg,
+                                  gradient_accumulation_steps=2)
+    state0 = TrainState.create({"emasc": emasc_vars}, tx)
+    state_a, metrics_a = accum(state0, frozen, batch, rng_step)
+
+    plain = make_emasc_train_step(vae=vae, emasc=emasc, vgg=vgg)
+    rngs = jax.random.split(rng_step, 2)
+    micro = jax.tree_util.tree_map(
+        lambda x: x.reshape(2, 2, *x.shape[1:]), batch)
+    updates = []
+    for i in range(2):
+        mb = jax.tree_util.tree_map(lambda x: x[i], micro)
+        st, _ = plain(state0, frozen, mb, rngs[i])
+        updates.append(jax.tree_util.tree_map(
+            lambda new, old: new - old, st.params, state0.params))
+    mean_update = jax.tree_util.tree_map(
+        lambda a, b: (a + b) / 2, *updates)
+    expect = jax.tree_util.tree_map(jnp.add, state0.params, mean_update)
+
+    for a, b in zip(jax.tree_util.tree_leaves(state_a.params),
+                    jax.tree_util.tree_leaves(expect)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+    assert set(metrics_a) == {"loss", "l1", "vgg"}
