@@ -121,11 +121,17 @@ def main(argv=None):
 
     emasc = emasc_vars = None
     if args.emasc_type != "none" and args.emasc_dir:
+        if args.emasc_padding != args.emasc_kernel // 2:
+            raise ValueError(
+                "this port derives EMASC padding as kernel//2 (shape-"
+                f"preserving); got kernel={args.emasc_kernel} "
+                f"padding={args.emasc_padding}")
         emasc, emasc_vars = zoo.emasc(
             args.dataset,
             checkpoint=_latest_pth(args.emasc_dir, "emasc",
                                    args.emasc_name),
-            dtype=dtype)
+            dtype=dtype, kind=args.emasc_type,
+            kernel_size=args.emasc_kernel)
 
     adapter = adapter_vars = vision = vision_vars = None
     if args.text_usage == "inversion_adapter":
@@ -134,7 +140,8 @@ def main(argv=None):
             checkpoint=_latest_pth(args.inversion_adapter_dir,
                                    "inversion_adapter",
                                    args.inversion_adapter_name),
-            dtype=dtype)
+            dtype=dtype, num_encoder_layers=args.num_encoder_layers,
+            num_vstar=args.num_vstar)
         if not args.use_clip_cloth_features:
             vision, vision_vars = zoo.clip_vit_h_vision(
                 args.clip_vision_dir, dtype=dtype)

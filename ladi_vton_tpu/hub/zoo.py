@@ -155,25 +155,29 @@ def extended_unet(dataset: str = "vitonhd", *, checkpoint=None,
 
 
 def emasc(dataset: str = "vitonhd", *, checkpoint=None, checkpoint_dir=None,
-          param_dtype=jnp.float32, dtype=jnp.bfloat16):
-    """Nonlinear EMASC with the reference channel plan
-    (reference hubconf.py:40-53)."""
-    module = EMASC(dtype=dtype, param_dtype=param_dtype)
+          param_dtype=jnp.float32, dtype=jnp.bfloat16,
+          kind: str = "nonlinear", kernel_size: int = 3):
+    """EMASC with the reference channel plan (reference
+    hubconf.py:40-53); ``kind``/``kernel_size`` mirror eval.py's
+    --emasc_type/--emasc_kernel for locally trained variants."""
+    module = EMASC(kind=kind, kernel_size=kernel_size, dtype=dtype,
+                   param_dtype=param_dtype)
     path = _resolve_checkpoint("emasc", dataset, checkpoint, checkpoint_dir)
     variables = _cached_convert(
-        path, "emasc",
-        lambda: C.convert_emasc(C.load_torch_state(path),
-                                kind="nonlinear"))
+        path, f"emasc_{kind}" if kind != "nonlinear" else "emasc",
+        lambda: C.convert_emasc(C.load_torch_state(path), kind=kind))
     return module, _to_jax(variables, param_dtype)
 
 
 def inversion_adapter(dataset: str = "vitonhd", *, checkpoint=None,
                       checkpoint_dir=None, param_dtype=jnp.float32,
-                      dtype=jnp.bfloat16):
-    """CLIP ViT-H/14 -> 16 PTEs in SD-2 text space
+                      dtype=jnp.bfloat16, num_encoder_layers: int = 1,
+                      num_vstar: int = 16):
+    """CLIP ViT-H/14 -> num_vstar PTEs in SD-2 text space
     (reference hubconf.py:16-27)."""
     module = InversionAdapter(input_dim=1280, hidden_dim=1280 * 4,
-                              output_dim=1024 * 16, num_encoder_layers=1,
+                              output_dim=1024 * num_vstar,
+                              num_encoder_layers=num_encoder_layers,
                               vision_config=vit_h_vision_config(),
                               dtype=dtype, param_dtype=param_dtype)
     path = _resolve_checkpoint("inversion_adapter", dataset, checkpoint,
