@@ -98,6 +98,11 @@ def main(argv=None):
     dtype = policy.compute_dtype
 
     vae, vae_vars = zoo.sd2_vae(args.sd2_model_dir, dtype=dtype)
+    if args.emasc_padding != args.emasc_kernel // 2:
+        raise ValueError(
+            "this port derives EMASC padding as kernel//2 (shape-"
+            f"preserving); got kernel={args.emasc_kernel} "
+            f"padding={args.emasc_padding}")
     emasc = EMASC(kind=args.emasc_type, kernel_size=args.emasc_kernel,
                   dtype=dtype)
     emasc_vars = emasc.init(jax.random.key(args.seed), [
