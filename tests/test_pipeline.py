@@ -1026,3 +1026,46 @@ def test_tryon_client_round_trips_and_surfaces_errors():
     finally:
         server.shutdown()
         batcher.close()
+
+
+def test_kv_hoist_sample_matches_under_data_sharding():
+    """context-KV hoisting must lower correctly under SPMD: the hoisted
+    projections are batch-sharded like the context itself. 8-device
+    data-sharded sample == single-device sample, hoisting ON."""
+    import dataclasses as dc
+
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    pipe, params = _tiny_pipeline(with_emasc=True)
+    pipe = dc.replace(pipe, hoist_context_kv=True)
+    B = 8
+    rng = np.random.default_rng(33)
+    kwargs = dict(
+        image=jnp.asarray(rng.uniform(-1, 1, (B, H, W, 3)),
+                          jnp.float32),
+        mask_image=jnp.ones((B, H, W, 1)),
+        pose_map=jnp.zeros((B, H, W, 18)),
+        warped_cloth=jnp.zeros((B, H, W, 3)),
+        prompt_embeds=jnp.asarray(rng.standard_normal((B, 7, 64)),
+                                  jnp.float32),
+        negative_prompt_embeds=jnp.zeros((B, 7, 64)),
+        rng=jax.random.key(3),
+        num_inference_steps=2,
+        guidance_scale=7.5,
+    )
+    base = pipe.sample(params, **kwargs)
+
+    devs = np.array(jax.devices()[:8])
+    mesh = Mesh(devs, ("data",))
+    shard = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    sharded_kwargs = dict(kwargs)
+    for k in ("image", "mask_image", "pose_map", "warped_cloth",
+              "prompt_embeds", "negative_prompt_embeds"):
+        sharded_kwargs[k] = jax.device_put(kwargs[k], shard)
+    params_repl = jax.device_put(params, repl)
+    sharded = pipe.sample(params_repl, **sharded_kwargs)
+    # SPMD partitioning changes fusion/reduction order; tolerate fp32
+    # reorder noise (~2e-4 on [0,1] pixels), catch logic errors (O(1))
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(base),
+                               atol=1e-3)
