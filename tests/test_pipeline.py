@@ -1069,3 +1069,73 @@ def test_kv_hoist_sample_matches_under_data_sharding():
     # reorder noise (~2e-4 on [0,1] pixels), catch logic errors (O(1))
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(base),
                                atol=1e-3)
+
+
+def test_micro_batcher_concurrency_stress():
+    """24 client threads x single-sample requests against a batch-8
+    stub: every future resolves with its own payload and the dispatcher
+    coalesces (fewer device calls than requests)."""
+    import threading
+
+    from ladi_vton_tpu.pipelines.serving import MicroBatcher
+
+    class StubService:
+        batch_size = 8
+
+        def __init__(self):
+            self.calls = 0
+            self._lock = threading.Lock()
+
+        def generate(self, **arrays):
+            with self._lock:
+                self.calls += 1
+            return arrays["image"] * 2.0
+
+    def req(val):
+        return {
+            "image": np.full((1, 2, 2, 3), val, np.float32),
+            "inpaint_mask": np.ones((1, 2, 2, 1), np.float32),
+            "pose_map": np.zeros((1, 2, 2, 18), np.float32),
+            "warped_cloth": np.zeros((1, 2, 2, 3), np.float32),
+            "prompt_embeds": np.zeros((1, 7, 8), np.float32),
+            "negative_prompt_embeds": np.zeros((1, 7, 8), np.float32),
+        }
+
+    svc = StubService()
+    mb = MicroBatcher(svc, max_delay_ms=50.0)
+    results = {}
+    errors = []
+
+    def client(i):
+        try:
+            out = mb.submit(req(float(i))).result(timeout=60)
+            results[i] = float(out[0, 0, 0, 0])
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    try:
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(24)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors
+        assert len(results) == 24
+        for i, v in results.items():
+            assert v == 2.0 * i, (i, v)
+        assert svc.calls < 24  # coalescing happened
+        assert mb.samples_done == 24 and mb.requests_done == 24
+    finally:
+        mb.close()
+
+
+def test_zoo_missing_checkpoint_errors_clearly(tmp_path):
+    """A missing .pth resolves to a clear FileNotFoundError naming the
+    expected artifact, not an opaque crash."""
+    import pytest as _pytest
+
+    from ladi_vton_tpu.hub import zoo
+
+    with _pytest.raises(FileNotFoundError):
+        zoo.emasc("dresscode", checkpoint=str(tmp_path / "nope.pth"))
