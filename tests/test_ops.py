@@ -339,3 +339,19 @@ def test_fused_layer_norm_module_matches_nn_layer_norm():
         np.asarray(mod.apply(variables, x)),
         np.asarray(ref_mod.apply(variables, x)),
         rtol=1e-5, atol=1e-6)
+
+
+def test_layer_norm_auto_dispatch_on_cpu_matches_xla():
+    """impl='auto' must resolve to the XLA path off-TPU (the
+    platform_dependent branch) for both wide and narrow (<128) rows."""
+    from ladi_vton_tpu.ops.layer_norm import layer_norm, layer_norm_xla
+
+    rng = np.random.default_rng(40)
+    for C in (320, 64):  # wide (dispatchable) and narrow (forced XLA)
+        x = jnp.asarray(rng.standard_normal((2, 8, C)).astype(np.float32))
+        scale = jnp.asarray(rng.standard_normal(C).astype(np.float32))
+        bias = jnp.asarray(rng.standard_normal(C).astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(layer_norm(x, scale, bias, impl="auto")),
+            np.asarray(layer_norm_xla(x, scale, bias)),
+            rtol=1e-5, atol=1e-6)
