@@ -59,9 +59,9 @@ def main():
 
     prepared = {
         "latents": jnp.zeros((B, lh, lw, 4), DT),
-        "mask": jnp.ones((B, lh, lw, 1), DT),
+        "mask_lat": jnp.ones((B, lh, lw, 1), DT),
         "masked_latents": jnp.zeros((B, lh, lw, 4), DT),
-        "pose": jnp.zeros((B, lh, lw, 18), DT),
+        "pose_lat": jnp.zeros((B, lh, lw, 18), DT),
         "cloth_latents": jnp.zeros((B, lh, lw, 4), DT),
     }
     embeds = jnp.zeros((B, 77, 1024), DT)
