@@ -173,7 +173,7 @@ def _report_stages(pipe, params, args, B, total_dt):
     t_den = timeit(lambda: den(params, prepared, e, e))
     t_dec = timeit(lambda: dec(params, latents, intermediate), iters=4)
     # analytic UNet FLOPs: ~0.575 TF per image-forward at 64x48 latents
-    # (full conv/attn/ff accounting, docs/STATUS.md), CFG doubles it
+    # (full conv/attn/ff accounting, docs/PERF.md §9), CFG doubles it
     unet_flops = 0.575e12 * (2 * B) * 50
     mfu = unet_flops / t_den / 197e12
     print(f"stages(B={B}): prep {t_prep*1e3:.0f} ms | denoise(50) "

@@ -416,7 +416,7 @@ class BasicTransformerBlock(nn.Module):
     num_heads: int
     head_dim: int
     attn_impl: str = "auto"
-    ln_impl: str = "xla"  # flip to "auto" only on a measured win
+    ln_impl: str = "xla"  # measured: pallas LN loses the full-UNet A/B (PERF.md §11a)
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 

@@ -83,9 +83,10 @@ class TryOnPipeline:
     vae_scale_factor: int = 8
     # Hoist the 32 loop-invariant cross-attn context projections out of
     # the denoise scan (identical numbers — precompute_context_kv).
-    # Default pending a measured full-scan A/B on TPU
-    # (tools/perf.py kv-hoist-ab): XLA's while-loop LICM may or may not
-    # already hoist these dots.
+    # Measured LOSS on TPU (tools/perf.py kv-hoist-ab, docs/PERF.md
+    # §11a): XLA's while-loop LICM already hoists these dots, and the
+    # explicit-KV branch forfeits the bhsd folded projections.  Keep
+    # off; the flag remains for the parity tests / the record.
     hoist_context_kv: bool = False
 
     def sample(
