@@ -290,6 +290,114 @@ class PNDMScheduler:
         return self.step(state, model_output, t, sample)
 
 
+class DPMSolverMultistepScheduler:
+    """DPM-Solver++(2M): second-order multistep sampler (beyond-reference).
+
+    The reference ships only the DDIM|PNDM|LMS union (tryon_pipe.py type
+    hints); DPM-Solver++ (Lu et al. 2022, arXiv:2211.01095) reaches
+    DDIM-50 quality in ~20 steps, i.e. ~2.4x effective throughput on the
+    same hardware.  Semantics follow the public diffusers
+    DPMSolverMultistepScheduler defaults (algorithm_type="dpmsolver++",
+    solver_order=2, solver_type="midpoint", timestep_spacing="linspace",
+    final_sigmas_type="zero", lower_order_final=True) so converted
+    checkpoints sample identically to the torch ecosystem.
+
+    TPU-first design: the timestep plan is static per ``set_timesteps``,
+    so every update coefficient (sigma ratio, first- and second-order
+    exponential terms, per-step effective order) is precomputed on host
+    in float64; the device step is three fused multiply-adds over the
+    latents plus one carried x0-history buffer — scan/jit friendly via
+    the same uniform loop protocol as DDIM/PNDM/LMS.
+    """
+
+    def __init__(self, config: SchedulerConfig = SchedulerConfig()):
+        self.config = config
+        acp = _make_alphas_cumprod(config).astype(np.float64)
+        # karras-convention sigma grid over train timesteps: s = sqrt((1-a)/a)
+        self._sigmas_all = np.sqrt((1.0 - acp) / acp)
+        self.init_noise_sigma = 1.0
+
+    def set_timesteps(self, num_inference_steps: int) -> jax.Array:
+        T = self.config.num_train_timesteps
+        # diffusers "linspace" spacing for DPM-Solver: n+1 points over
+        # [0, T-1], rounded, descending, first n kept
+        ts = (
+            np.linspace(0, T - 1, num_inference_steps + 1)
+            .round()[::-1][:-1]
+            .astype(np.int64)
+            .copy()
+        )
+        s = np.interp(ts.astype(np.float64),
+                      np.arange(len(self._sigmas_all)), self._sigmas_all)
+        s = np.concatenate([s, [0.0]])  # final_sigmas_type="zero"
+
+        # VP-space alpha/sigma and log-SNR half lambda from karras sigma:
+        # alpha = 1/sqrt(1+s^2), sigma = s*alpha, lambda = -log(s)
+        with np.errstate(divide="ignore"):
+            lam = -np.log(s)  # +inf at the appended 0 — handled by limits
+        alpha = 1.0 / np.sqrt(1.0 + s * s)
+        sigma = s * alpha
+
+        n = num_inference_steps
+        c_skip = np.zeros(n)
+        c_d0 = np.zeros(n)
+        c_d1 = np.zeros(n)
+        h = lam[1:] - lam[:-1]  # h_i = lambda_{i+1} - lambda_i > 0
+        for i in range(n):
+            final = s[i + 1] == 0.0
+            # limits as h -> inf: exp(-h) -> 0, sigma ratio -> 0
+            exp_neg_h = 0.0 if final else np.exp(-h[i])
+            c_skip[i] = 0.0 if final else sigma[i + 1] / sigma[i]
+            c_d0[i] = -alpha[i + 1] * (exp_neg_h - 1.0)
+            # per-step effective order: first-order at step 0 (no
+            # history) and at the final zero-sigma step (diffusers
+            # lower_order_final / euler-at-final behavior)
+            if i == 0 or final:
+                c_d1[i] = 0.0
+            else:
+                r = h[i - 1] / h[i]
+                c_d1[i] = 0.5 * c_d0[i] / r  # midpoint: D1 = (m0-m1)/r
+        self.num_inference_steps = n
+        self._c_skip = jnp.asarray(c_skip, jnp.float32)
+        self._c_d0 = jnp.asarray(c_d0, jnp.float32)
+        self._c_d1 = jnp.asarray(c_d1, jnp.float32)
+        self._alpha_j = jnp.asarray(alpha, jnp.float32)
+        self._sigma_j = jnp.asarray(sigma, jnp.float32)
+        return jnp.asarray(ts)
+
+    def scale_model_input(self, sample, t):
+        return sample  # VP-space sampler: identity, like DDIM
+
+    def step(self, prev_x0, model_output, step_index, sample):
+        """(x0-history, eps, i, x_i) -> (new history, x_{i+1})."""
+        a_t = self._alpha_j[step_index]
+        s_t = self._sigma_j[step_index]
+        x = sample.astype(jnp.float32)
+        eps = model_output.astype(jnp.float32)
+        if self.config.prediction_type == "epsilon":
+            x0 = (x - s_t * eps) / a_t
+        elif self.config.prediction_type == "v_prediction":
+            x0 = a_t * x - s_t * eps
+        else:
+            raise ValueError(self.config.prediction_type)
+        d1 = x0 - prev_x0  # c_d1 is zeroed where the order is 1
+        prev = (self._c_skip[step_index] * x
+                + self._c_d0[step_index] * x0
+                + self._c_d1[step_index] * d1)
+        return x0, prev.astype(sample.dtype)
+
+    # ---- uniform loop protocol ----
+
+    def init_loop_state(self, latents: jax.Array):
+        return jnp.zeros(latents.shape, jnp.float32)
+
+    def scale_input(self, sample, step_index, t):
+        return sample
+
+    def loop_step(self, state, model_output, step_index, t, sample):
+        return self.step(state, model_output, step_index, sample)
+
+
 class LMSDiscreteScheduler:
     """Linear multistep (k-LMS) sampler in sigma space.
 

@@ -290,3 +290,117 @@ def test_pndm_plms_blend_weights_are_adams_bashforth_4():
     np.testing.assert_allclose(w_m2 / w_cur, 37 / 55, rtol=1e-5)
     np.testing.assert_allclose(w_m3 / w_cur, -9 / 55, rtol=1e-5)
     np.testing.assert_allclose(w_dropped, 0.0, atol=1e-8)
+
+
+def test_dpm_timesteps_match_diffusers_convention():
+    """DPM-Solver linspace spacing: n+1 points over [0, T-1], rounded,
+    descending, first n kept (diffusers DPMSolverMultistepScheduler
+    timestep_spacing='linspace')."""
+    from ladi_vton_tpu.diffusion.schedulers import (
+        DPMSolverMultistepScheduler,
+    )
+
+    sched = DPMSolverMultistepScheduler()
+    ts = np.asarray(sched.set_timesteps(20))
+    expect = (np.linspace(0, 999, 21).round()[::-1][:-1]).astype(np.int64)
+    np.testing.assert_array_equal(ts, expect)
+    assert ts[0] == 999  # every linspace plan starts at T-1
+    assert sched.init_noise_sigma == 1.0
+
+
+def test_dpm_recovers_x0_exactly_with_perfect_model():
+    """With the exact epsilon as model output the x0 prediction is
+    constant, the second-order correction vanishes, and the zero-sigma
+    final step returns x0 EXACTLY (final_sigmas_type='zero')."""
+    from ladi_vton_tpu.diffusion.schedulers import (
+        DPMSolverMultistepScheduler,
+    )
+
+    sched = DPMSolverMultistepScheduler()
+    ts = np.asarray(sched.set_timesteps(10))
+    acp = _make_alphas_cumprod(sched.config)
+    rng = np.random.default_rng(3)
+    x0 = rng.standard_normal((1, 8)).astype(np.float32)
+    eps0 = rng.standard_normal((1, 8)).astype(np.float32)
+    x = jnp.asarray(np.sqrt(acp[ts[0]]) * x0
+                    + np.sqrt(1 - acp[ts[0]]) * eps0)
+    state = sched.init_loop_state(x)
+    for i, t in enumerate(ts):
+        a = np.asarray(sched._alpha_j[i])
+        s = np.asarray(sched._sigma_j[i])
+        eps = (np.asarray(x) - a * x0) / s
+        state, x = sched.loop_step(state, jnp.asarray(eps), i,
+                                   jnp.asarray(int(t)), x)
+    np.testing.assert_allclose(np.asarray(x), x0, atol=1e-5)
+
+
+def test_dpm_constant_eps_tracks_exact_vp_path():
+    """Constant-epsilon exactness: if the model always returns eps0 and
+    sampling starts on the path x = alpha*x0 + sigma*eps0, every
+    DPM-Solver++ update must land back on the path (the exponential
+    integrator is exact when the x0 prediction is constant) — a sharp
+    oracle on the c_skip / c_d0 coefficient algebra."""
+    from ladi_vton_tpu.diffusion.schedulers import (
+        DPMSolverMultistepScheduler,
+    )
+
+    sched = DPMSolverMultistepScheduler()
+    ts = np.asarray(sched.set_timesteps(7))
+    rng = np.random.default_rng(4)
+    x0 = rng.standard_normal((1, 6)).astype(np.float32)
+    eps0 = rng.standard_normal((1, 6)).astype(np.float32)
+    alpha = np.asarray(sched._alpha_j, np.float64)
+    sigma = np.asarray(sched._sigma_j, np.float64)
+    x = jnp.asarray((alpha[0] * x0 + sigma[0] * eps0).astype(np.float32))
+    state = sched.init_loop_state(x)
+    for i, t in enumerate(ts):
+        state, x = sched.loop_step(state, jnp.asarray(eps0), i,
+                                   jnp.asarray(int(t)), x)
+        expect = alpha[i + 1] * x0 + sigma[i + 1] * eps0
+        np.testing.assert_allclose(np.asarray(x), expect, atol=2e-5,
+                                   err_msg=f"step {i}")
+
+
+def test_dpm_second_order_convergence_on_nonlinear_model():
+    """Order check that actually exercises the multistep (D1) term: on a
+    smooth nonlinear model eps(x) = 0.5*tanh(x) all linspace plans start
+    at t = T-1 and end at sigma = 0, so refining the plan must converge
+    at second order — halving the step count should shrink the error vs
+    a 640-step ground truth by ~4x (we assert > 2.2x), and the 2M
+    sampler at n=20 must beat first-order DDIM at n=20."""
+    from ladi_vton_tpu.diffusion.schedulers import (
+        DPMSolverMultistepScheduler,
+    )
+
+    def run_dpm(n, x_init):
+        sched = DPMSolverMultistepScheduler()
+        ts = np.asarray(sched.set_timesteps(n))
+        x = jnp.asarray(x_init)
+        state = sched.init_loop_state(x)
+        for i, t in enumerate(ts):
+            eps = 0.5 * jnp.tanh(x)
+            state, x = sched.loop_step(state, eps, i,
+                                       jnp.asarray(int(t)), x)
+        return np.asarray(x)
+
+    x_init = np.asarray([[1.3, -0.7, 0.2, 2.1]], np.float32)
+    truth = run_dpm(640, x_init)
+    e20 = np.abs(run_dpm(20, x_init) - truth).max()
+    e40 = np.abs(run_dpm(40, x_init) - truth).max()
+    assert e40 < e20 / 2.2, (e20, e40)
+
+    # first-order comparison at the same budget: DDIM-20 on the same
+    # model (different plan start, so compare each to its own refined
+    # trajectory)
+    def run_ddim(n, x_init):
+        sched = DDIMScheduler()
+        ts = np.asarray(sched.set_timesteps(n))
+        x = jnp.asarray(x_init)
+        for t in ts:
+            eps = 0.5 * jnp.tanh(x)
+            x = sched.step(eps, jnp.asarray(int(t)), x)
+        return np.asarray(x)
+
+    ddim_truth = run_ddim(640, x_init)
+    e_ddim20 = np.abs(run_ddim(20, x_init) - ddim_truth).max()
+    assert e20 < e_ddim20, (e20, e_ddim20)
