@@ -60,6 +60,11 @@ def parse_args(argv=None):
     p.add_argument("--num_encoder_layers", default=1, type=int)
     p.add_argument("--use_png", default=False, action="store_true")
     p.add_argument("--num_inference_steps", default=50, type=int)
+    p.add_argument("--scheduler", type=str, default="ddim",
+                   choices=["ddim", "pndm", "lms", "dpm"],
+                   help="Sampler. 'dpm' (DPM-Solver++ 2M) reaches "
+                        "DDIM-50 quality at ~20 steps (pair with "
+                        "--num_inference_steps 20).")
     p.add_argument("--guidance_scale", default=7.5, type=float)
     p.add_argument("--use_clip_cloth_features", action="store_true")
     p.add_argument("--compute_metrics", default=False, action="store_true")
@@ -68,6 +73,10 @@ def parse_args(argv=None):
     p.add_argument("--clip_vision_dir", type=str, required=False)
     p.add_argument("--tokenizer_dir", type=str, default=None)
     p.add_argument("--caption_file", type=str, default=None)
+    p.add_argument("--height", type=int, default=512,
+                   help="Generation height (the reference fixes 512)")
+    p.add_argument("--width", type=int, default=384,
+                   help="Generation width (reference fixes 384)")
     return p.parse_args(argv)
 
 
@@ -98,7 +107,7 @@ def main(argv=None):
     from ladi_vton_tpu.cli.train_vto import build_dataset
     from ladi_vton_tpu.core.dtypes import default_policy
     from ladi_vton_tpu.data.loader import BatchLoader
-    from ladi_vton_tpu.diffusion.schedulers import DDIMScheduler
+    from ladi_vton_tpu.diffusion.schedulers import make_scheduler
     from ladi_vton_tpu.hub import zoo
     from ladi_vton_tpu.models.emasc import EMASC
     from ladi_vton_tpu.pipelines.drivers import (
@@ -147,7 +156,7 @@ def main(argv=None):
                 args.clip_vision_dir, dtype=dtype)
 
     pipe = TryOnPipeline(unet=unet, vae=vae, emasc=emasc,
-                         scheduler=DDIMScheduler())
+                         scheduler=make_scheduler(args.scheduler))
     params = {"unet": unet_vars, "vae": vae_vars}
     if emasc is not None:
         params["emasc"] = emasc_vars
@@ -169,10 +178,12 @@ def main(argv=None):
         dataset = DressCodeDataset(
             args.dresscode_dataroot, phase="test", order=args.test_order,
             outputlist=tuple(outputlist), category=cats,
-            caption_file=args.caption_file, size=(512, 384))
+            caption_file=args.caption_file,
+            size=(args.height, args.width))
     else:
         dataset = build_dataset(args, "test", args.test_order,
-                                tuple(outputlist))
+                                tuple(outputlist),
+                                size=(args.height, args.width))
     # batch generation is data-parallel over the device mesh (the
     # reference's accelerator.prepare DDP eval, src/eval.py:317): the
     # batch size rounds up to a multiple of the data-axis size and

@@ -58,6 +58,12 @@ def parse_args(argv=None):
                                  "dresses"])
     parser.add_argument("--use_png", default=False, action="store_true")
     parser.add_argument("--num_inference_steps", default=50, type=int)
+    parser.add_argument("--scheduler", type=str, default="ddim",
+                        choices=["ddim", "pndm", "lms", "dpm"],
+                        help="Sampler. 'dpm' (DPM-Solver++ 2M) reaches "
+                             "DDIM-50 quality at ~20 steps — pair with "
+                             "--num_inference_steps 20 for ~2.4x "
+                             "throughput (beyond-reference option).")
     parser.add_argument("--guidance_scale", default=7.5, type=float)
     parser.add_argument("--compute_metrics", default=False,
                         action="store_true")
@@ -73,6 +79,11 @@ def parse_args(argv=None):
     parser.add_argument("--tokenizer_dir", type=str, default=None,
                         help="Directory with vocab.json + merges.txt "
                              "(defaults to <sd2_model_dir>/tokenizer)")
+    parser.add_argument("--height", type=int, default=512,
+                        help="Generation height (the reference fixes "
+                             "512; must be divisible by 64)")
+    parser.add_argument("--width", type=int, default=384,
+                        help="Generation width (reference fixes 384)")
     return parser.parse_args(argv)
 
 
@@ -89,7 +100,7 @@ def main(argv=None):
     from ladi_vton_tpu.core.dtypes import default_policy
     from ladi_vton_tpu.core.rng import set_seed
     from ladi_vton_tpu.data import BatchLoader, DressCodeDataset, VitonHDDataset
-    from ladi_vton_tpu.diffusion.schedulers import DDIMScheduler
+    from ladi_vton_tpu.diffusion.schedulers import make_scheduler
     from ladi_vton_tpu.hub import zoo
     from ladi_vton_tpu.models.tps import ConvNetTPS  # noqa: F401 (docs)
     from ladi_vton_tpu.pipelines.tryon import TryOnPipeline
@@ -120,7 +131,7 @@ def main(argv=None):
         args.tokenizer_dir or str(Path(args.sd2_model_dir) / "tokenizer"))
 
     pipe = TryOnPipeline(unet=unet, vae=vae, emasc=emasc,
-                         scheduler=DDIMScheduler())
+                         scheduler=make_scheduler(args.scheduler))
     params = {"unet": unet_vars, "vae": vae_vars, "emasc": emasc_vars}
 
     # data-parallel batch inference over the device mesh (the
@@ -140,15 +151,16 @@ def main(argv=None):
                   else ["dresses", "upper_body", "lower_body"])
     outputlist = ["image", "pose_map", "inpaint_mask", "im_mask",
                   "category", "im_name", "cloth"]
+    size = (args.height, args.width)
     if args.dataset == "dresscode":
         dataset = DressCodeDataset(args.dresscode_dataroot, phase="test",
                                    order=args.test_order, radius=5,
                                    outputlist=outputlist,
-                                   category=categories, size=(512, 384))
+                                   category=categories, size=size)
     else:
         dataset = VitonHDDataset(args.vitonhd_dataroot, phase="test",
                                  order=args.test_order, radius=5,
-                                 outputlist=outputlist, size=(512, 384))
+                                 outputlist=outputlist, size=size)
     loader = BatchLoader(dataset, args.batch_size,
                          num_workers=args.num_workers, pad_last=True)
 
@@ -166,7 +178,7 @@ def main(argv=None):
     condition = build_condition_fn(
         tps=tps, refinement=refinement, vision=vision, adapter=adapter,
         text_model=text_model, num_vstar=args.num_vstar, dtype=dtype,
-        empty_ids=empty_ids)
+        empty_ids=empty_ids, image_size=size)
 
     sampler = pipe.jit_sample(
         split=True, num_inference_steps=args.num_inference_steps,

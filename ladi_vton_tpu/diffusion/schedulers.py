@@ -290,6 +290,26 @@ class PNDMScheduler:
         return self.step(state, model_output, t, sample)
 
 
+def make_scheduler(name: str, config: SchedulerConfig = SchedulerConfig()):
+    """Build a sampler by CLI name.
+
+    The reference pipeline accepts the DDIM | PNDM | LMS union
+    (reference tryon_pipe.py scheduler type hints; the CLIs instantiate
+    DDIM, src/inference.py:123).  ``dpm`` is the beyond-reference
+    DPM-Solver++(2M) option (~DDIM-50 quality at 20 steps).
+    """
+    table = {
+        "ddim": DDIMScheduler,
+        "pndm": PNDMScheduler,
+        "lms": LMSDiscreteScheduler,
+        "dpm": DPMSolverMultistepScheduler,
+    }
+    if name not in table:
+        raise ValueError(
+            f"unknown scheduler {name!r}; choose from {sorted(table)}")
+    return table[name](config)
+
+
 class DPMSolverMultistepScheduler:
     """DPM-Solver++(2M): second-order multistep sampler (beyond-reference).
 
@@ -380,6 +400,10 @@ class DPMSolverMultistepScheduler:
             x0 = a_t * x - s_t * eps
         else:
             raise ValueError(self.config.prediction_type)
+        if self.config.clip_sample:
+            # same x0 clamp DDIMScheduler.step applies, so a config with
+            # clip_sample=True behaves consistently across schedulers
+            x0 = jnp.clip(x0, -1.0, 1.0)
         d1 = x0 - prev_x0  # c_d1 is zeroed where the order is 1
         prev = (self._c_skip[step_index] * x
                 + self._c_d0[step_index] * x0

@@ -71,13 +71,14 @@ class TryOnPipeline:
     """Bundles the model defs; parameters travel separately (functional).
 
     ``scheduler`` accepts the reference's full union — DDIM, PNDM or
-    LMS (reference tryon_pipe.py scheduler type hints) — via the
-    uniform ``init_loop_state / scale_input / loop_step`` protocol.
+    LMS (reference tryon_pipe.py scheduler type hints) — plus the
+    beyond-reference DPM-Solver++(2M), via the uniform
+    ``init_loop_state / scale_input / loop_step`` protocol.
     """
 
     unet: UNet2DCondition
     vae: AutoencoderKL
-    scheduler: Any  # DDIMScheduler | PNDMScheduler | LMSDiscreteScheduler
+    scheduler: Any  # DDIM | PNDM | LMS | DPMSolverMultistep
     emasc: Optional[EMASC] = None
     emasc_int_layers: Sequence[int] = (1, 2, 3, 4, 5)
     vae_scale_factor: int = 8
@@ -335,7 +336,9 @@ class TryOnPipeline:
             rate = den_kwargs.get("cloth_cond_rate", 1.0)
             timesteps = self.scheduler.set_timesteps(n_steps)
             host_ts = [int(t) for t in timesteps]
-            gate = rate * len(host_ts)
+            # from num_inference_steps, NOT plan length (PNDM plans are
+            # n+1 long — see cloth_gate_start)
+            gate = cloth_gate_start(n_steps, rate)
             step_fn = jax.jit(functools.partial(
                 self.denoise_one_step, guidance_scale=g,
                 cloth_gate_from=gate))

@@ -8,6 +8,7 @@ from ladi_vton_tpu.diffusion.schedulers import (
     DDIMScheduler,
     DDPMScheduler,
     SchedulerConfig,
+    _make_alphas_cumprod,
 )
 from ladi_vton_tpu.diffusion.text import splice_word_embeddings
 

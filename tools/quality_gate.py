@@ -79,10 +79,21 @@ def parse_args(argv=None):
     p.add_argument("--category", default="all")
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--output_dir", default="/tmp/quality_gate")
+    p.add_argument("--scheduler", default="ddim",
+                   choices=["ddim", "pndm", "lms", "dpm"],
+                   help="dpm-20 must clear the SAME paper gates as "
+                        "ddim-50 (DPM-Solver++ reaches DDIM-50 quality "
+                        "at ~20 steps, arXiv 2211.01095) — that IS its "
+                        "quality gate")
+    p.add_argument("--num_inference_steps", type=int, default=None,
+                   help="default: 50 for ddim/pndm/lms, 20 for dpm")
     p.add_argument("--skip_generation", action="store_true",
                    help="reuse --output_dir images from a prior run and "
                         "only re-check the metric gates")
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    if args.num_inference_steps is None:
+        args.num_inference_steps = 20 if args.scheduler == "dpm" else 50
+    return args
 
 
 def main(argv=None):
@@ -95,7 +106,8 @@ def main(argv=None):
         if not required.exists():
             sys.exit(f"missing {what} weights at {required}")
 
-    metrics_file = (Path(args.output_dir)
+    # cli.inference writes under <output_dir>/<test_order>/
+    metrics_file = (Path(args.output_dir) / args.test_order
                     / f"metrics_{args.test_order}_{args.category}.json")
     if not args.skip_generation or not metrics_file.exists():
         from ladi_vton_tpu.cli.inference import main as inference_main
@@ -106,6 +118,8 @@ def main(argv=None):
             "--test_order", args.test_order,
             "--category", args.category,
             "--batch_size", str(args.batch_size),
+            "--scheduler", args.scheduler,
+            "--num_inference_steps", str(args.num_inference_steps),
             "--checkpoint_dir", args.checkpoint_dir,
             "--sd2_model_dir", args.sd2_model_dir,
             "--clip_vision_dir", args.clip_vision_dir,
@@ -125,7 +139,8 @@ def main(argv=None):
 
     failures = []
     print(f"\nquality gate — {args.dataset} {args.test_order} "
-          f"({args.category}):")
+          f"({args.category}, {args.scheduler}-"
+          f"{args.num_inference_steps}):")
     for metric, (target, tol, direction) in gates.items():
         got = measured.get(metric)
         if got is None:
