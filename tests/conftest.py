@@ -29,3 +29,37 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_platform_name", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+import pytest  # noqa: E402
+
+# ---------------------------------------------------------------------------
+# Test tiers (VERDICT r3 item 2).  The FULL suite takes ~30 min on this
+# 1-core host, which is how a red test got committed in round 3.  The
+# default tier (plain ``pytest tests/``) excludes tests marked ``slow``
+# — the heavyweight torch/reference oracle modules and CLI drives — and
+# must stay under ~5 minutes; it gates every snapshot.  Run the FULL
+# tier with ``pytest tests/ -q --runslow`` at least once per round.
+# ---------------------------------------------------------------------------
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="also run tests marked 'slow' (the full ~30-min tier)")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavyweight oracle/CLI-drive test, excluded from the "
+        "default (<5 min) tier; run with --runslow")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(
+        reason="slow tier (run with --runslow for the full suite)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

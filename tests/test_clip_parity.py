@@ -8,6 +8,8 @@ forward outputs — the same path published SD-2/ViT-H weights take.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 torch = pytest.importorskip("torch")
 transformers = pytest.importorskip("transformers")
 

@@ -16,6 +16,8 @@ reference's clean-fid + torchmetrics numbers
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax.numpy as jnp
 
 from ladi_vton_tpu.metrics.fid import (

@@ -19,8 +19,11 @@ import numpy as np
 import pytest
 
 REFERENCE = Path("/root/reference")
-pytestmark = pytest.mark.skipif(
-    not REFERENCE.exists(), reason="reference checkout not available")
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(not REFERENCE.exists(),
+                       reason="reference checkout not available"),
+]
 
 H, W = 128, 96  # multiples the reference's 512x384 aspect
 

@@ -14,6 +14,10 @@ the TRUE diffusers graphs (tests/torch_oracles.py) on the exported
 diffusers-layout state dicts, and assert activations match <=1e-4.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import sys
 from pathlib import Path
 
