@@ -140,12 +140,14 @@ def _to_torch_key_value(path: tuple, arr: np.ndarray):
     return dot + leaf, arr
 
 
-def export_torch_state(variables: dict, path: str | Path,
+def export_torch_state(variables: dict, path: "str | Path | None",
                        key_map=None) -> dict:
     """Write flax variables as a torch-compatible ``.pth`` state dict.
 
     ``key_map``: optional callable str->str to rename keys into a
     specific reference module layout (e.g. EMASC conv.N.{0,2}).
+    ``path=None`` skips the file write and just returns the state dict
+    (for callers bundling several states into one ``.pth``).
     """
     import torch
 
@@ -157,7 +159,8 @@ def export_torch_state(variables: dict, path: str | Path,
         if key_map:
             key = key_map(key)
         state[key] = torch.from_numpy(np.ascontiguousarray(value))
-    torch.save(state, str(path))
+    if path is not None:
+        torch.save(state, str(path))
     return state
 
 

@@ -149,7 +149,11 @@ class BatchLoader:
                 if self.drop_last:
                     continue
                 if self.pad_last:  # repeat to static batch for XLA
-                    idx = idx + idx[: self.batch_size - len(idx)]
+                    # loop: one repetition is not enough when the
+                    # remainder is under half the batch (e.g. a 2-item
+                    # dataset at batch 8)
+                    while len(idx) < self.batch_size:
+                        idx = idx + idx[: self.batch_size - len(idx)]
             batches.append(idx)
         return batches
 

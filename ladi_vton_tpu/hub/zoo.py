@@ -129,6 +129,51 @@ def _cached_convert(src_path, tag: str, fn):
     return tree
 
 
+def _sidecar_config(pth_path: str) -> Optional[dict]:
+    """Architecture sidecar for a ``.pth`` release.
+
+    The reference's released checkpoints carry no config channel —
+    hubconf.py hard-codes their architectures (reference
+    hubconf.py:16-64), and so do our builder defaults.  Synthesized
+    non-default checkpoints (``tools/make_weights.py --tiny``) write a
+    ``<name>.config.json`` next to the ``.pth``; when present it
+    overrides the builder's architecture so the SAME CLI path drives
+    any scale of tower.
+    """
+    sidecar = Path(pth_path).with_suffix(".config.json")
+    if sidecar.exists():
+        import json
+
+        with open(sidecar) as f:
+            return json.load(f)
+    return None
+
+
+def _dir_config(model_dir: str, subfolder: str) -> Optional[dict]:
+    """diffusers/transformers ``config.json`` from a model directory —
+    real downloaded SD-2 checkouts ship one per subfolder (the reference
+    consumes it through ``from_pretrained``)."""
+    path = Path(model_dir) / subfolder / "config.json"
+    if path.exists():
+        import json
+
+        with open(path) as f:
+            return json.load(f)
+    return None
+
+
+def _config_kwargs(cfg_cls, raw: dict) -> dict:
+    """Keep only the keys the dataclass knows; tuple-ify sequences."""
+    import dataclasses
+
+    fields = {f.name for f in dataclasses.fields(cfg_cls)}
+    out = {}
+    for k, v in raw.items():
+        if k in fields:
+            out[k] = tuple(v) if isinstance(v, list) else v
+    return out
+
+
 def _to_jax(variables: dict, dtype=None) -> dict:
     def cast(x):
         arr = jnp.asarray(x)
@@ -143,14 +188,19 @@ def extended_unet(dataset: str = "vitonhd", *, checkpoint=None,
                   checkpoint_dir=None, param_dtype=jnp.float32,
                   dtype=jnp.bfloat16):
     """31-channel SD-2 UNet with trained try-on weights
-    (reference hubconf.py:30-37)."""
-    unet = UNet2DCondition(sd2_unet_config(31), dtype=dtype,
-                           param_dtype=param_dtype)
+    (reference hubconf.py:30-37).  A ``.config.json`` sidecar next to
+    the ``.pth`` overrides the SD-2 architecture (tiny drives)."""
+    from ladi_vton_tpu.models.unet_condition import UNetConfig
+
     path = _resolve_checkpoint("unet", dataset, checkpoint, checkpoint_dir)
+    side = _sidecar_config(path)
+    cfg = (UNetConfig(**_config_kwargs(UNetConfig, side)) if side
+           else sd2_unet_config(31))
+    unet = UNet2DCondition(cfg, dtype=dtype, param_dtype=param_dtype)
     variables = _cached_convert(
-        path, "unet31",
+        path, f"unet{cfg.in_channels}",
         lambda: C.widen_conv_in(C.convert_unet(C.load_torch_state(path)),
-                                31))
+                                cfg.in_channels))
     return unet, _to_jax(variables, param_dtype)
 
 
@@ -160,9 +210,14 @@ def emasc(dataset: str = "vitonhd", *, checkpoint=None, checkpoint_dir=None,
     """EMASC with the reference channel plan (reference
     hubconf.py:40-53); ``kind``/``kernel_size`` mirror eval.py's
     --emasc_type/--emasc_kernel for locally trained variants."""
-    module = EMASC(kind=kind, kernel_size=kernel_size, dtype=dtype,
-                   param_dtype=param_dtype)
     path = _resolve_checkpoint("emasc", dataset, checkpoint, checkpoint_dir)
+    side = _sidecar_config(path) or {}
+    channel_kwargs = {
+        k: tuple(side[k]) for k in ("in_channels", "out_channels")
+        if k in side
+    }
+    module = EMASC(kind=kind, kernel_size=kernel_size, dtype=dtype,
+                   param_dtype=param_dtype, **channel_kwargs)
     variables = _cached_convert(
         path, f"emasc_{kind}" if kind != "nonlinear" else "emasc",
         lambda: C.convert_emasc(C.load_torch_state(path), kind=kind))
@@ -175,13 +230,21 @@ def inversion_adapter(dataset: str = "vitonhd", *, checkpoint=None,
                       num_vstar: int = 16):
     """CLIP ViT-H/14 -> num_vstar PTEs in SD-2 text space
     (reference hubconf.py:16-27)."""
-    module = InversionAdapter(input_dim=1280, hidden_dim=1280 * 4,
-                              output_dim=1024 * num_vstar,
-                              num_encoder_layers=num_encoder_layers,
-                              vision_config=vit_h_vision_config(),
-                              dtype=dtype, param_dtype=param_dtype)
+    from ladi_vton_tpu.models.clip import CLIPVisionConfig
+
     path = _resolve_checkpoint("inversion_adapter", dataset, checkpoint,
                                checkpoint_dir)
+    side = _sidecar_config(path) or {}
+    vc = (CLIPVisionConfig(**_config_kwargs(CLIPVisionConfig,
+                                            side["vision_config"]))
+          if "vision_config" in side else vit_h_vision_config())
+    module = InversionAdapter(
+        input_dim=side.get("input_dim", 1280),
+        hidden_dim=side.get("hidden_dim", 1280 * 4),
+        output_dim=side.get("output_dim", 1024 * num_vstar),
+        num_encoder_layers=side.get("num_encoder_layers",
+                                    num_encoder_layers),
+        vision_config=vc, dtype=dtype, param_dtype=param_dtype)
     variables = _cached_convert(
         path, "inversion_adapter",
         lambda: C.convert_inversion_adapter(C.load_torch_state(path)))
@@ -248,8 +311,13 @@ def _load_model_dir_state(model_dir: str, subfolder: str):
 def sd2_vae(model_dir: str, *, param_dtype=jnp.float32,
             dtype=jnp.bfloat16):
     """EMASC-aware VAE with SD-2-inpainting weights
-    (reference src/inference.py:126)."""
-    vae = AutoencoderKL(VAEConfig(), dtype=dtype, param_dtype=param_dtype)
+    (reference src/inference.py:126).  Architecture from the model
+    dir's diffusers ``config.json`` when present (real downloaded
+    checkouts ship it), SD-2 defaults otherwise."""
+    raw = _dir_config(model_dir, "vae")
+    cfg = (VAEConfig(**_config_kwargs(VAEConfig, raw)) if raw
+           else VAEConfig())
+    vae = AutoencoderKL(cfg, dtype=dtype, param_dtype=param_dtype)
     variables = _cached_convert(
         _find_model_file(model_dir, "vae"), "sd2_vae",
         lambda: C.convert_vae(_load_model_dir_state(model_dir, "vae")))
@@ -258,8 +326,12 @@ def sd2_vae(model_dir: str, *, param_dtype=jnp.float32,
 
 def sd2_text_encoder(model_dir: str, *, param_dtype=jnp.float32,
                      dtype=jnp.bfloat16):
-    model = CLIPTextModel(sd2_text_config(), dtype=dtype,
-                          param_dtype=param_dtype)
+    from ladi_vton_tpu.models.clip import CLIPTextConfig
+
+    raw = _dir_config(model_dir, "text_encoder")
+    cfg = (CLIPTextConfig(**_config_kwargs(CLIPTextConfig, raw)) if raw
+           else sd2_text_config())
+    model = CLIPTextModel(cfg, dtype=dtype, param_dtype=param_dtype)
     variables = _cached_convert(
         _find_model_file(model_dir, "text_encoder"), "sd2_text",
         lambda: C.convert_clip_text(
@@ -269,9 +341,20 @@ def sd2_text_encoder(model_dir: str, *, param_dtype=jnp.float32,
 
 def clip_vit_h_vision(model_dir: str, *, param_dtype=jnp.float32,
                       dtype=jnp.bfloat16):
-    """laion/CLIP-ViT-H-14 vision tower (reference src/inference.py:127)."""
-    model = CLIPVisionModel(vit_h_vision_config(), dtype=dtype,
-                            param_dtype=param_dtype)
+    """laion/CLIP-ViT-H-14 vision tower (reference src/inference.py:127).
+
+    transformers CLIP checkouts carry the vision architecture nested
+    under ``vision_config`` in config.json; plain vision-model exports
+    put it at top level — both are accepted."""
+    from ladi_vton_tpu.models.clip import CLIPVisionConfig
+
+    raw = _dir_config(model_dir, "")
+    if raw is not None:
+        raw = raw.get("vision_config", raw)
+        cfg = CLIPVisionConfig(**_config_kwargs(CLIPVisionConfig, raw))
+    else:
+        cfg = vit_h_vision_config()
+    model = CLIPVisionModel(cfg, dtype=dtype, param_dtype=param_dtype)
     variables = _cached_convert(
         _find_model_file(model_dir, ""), "clip_vit_h",
         lambda: C.convert_clip_vision(_load_model_dir_state(model_dir, "")))

@@ -161,6 +161,12 @@ def test_batch_loader_pad_last(dresscode_root):
     shapes = [b["image"].shape[0] for b in loader]
     assert shapes == [4, 4]
 
+    # remainder smaller than HALF the batch: padding must loop (a 6-item
+    # dataset at batch 16 -> one full static batch, not 12)
+    loader = BatchLoader(ds, batch_size=16, pad_last=True)
+    shapes = [b["image"].shape[0] for b in loader]
+    assert shapes == [16]
+
 
 def test_rasterizers_match_pil():
     from PIL import ImageDraw
