@@ -42,4 +42,8 @@ PROBES = {
                    "device-trace op-bucket attribution of the UNet step"),
     "kv-hoist-ab": ("tools.probes.kv_hoist_ab",
                     "denoise-scan A/B of cross-attn context-KV hoisting"),
+    "condition-bench": ("tools.probes.condition_bench",
+                        "conditioning-stage cost (TPS/refine/ViT-H/PTE)"),
+    "driver-pipeline": ("tools.probes.driver_pipeline",
+                        "serial vs pipelined batch-stream driver loop"),
 }

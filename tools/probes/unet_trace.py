@@ -195,6 +195,18 @@ def main():
         print(f"  {d/n_steps*1e3:8.3f} ms  {name[:40]}  {extra[:180]}",
               flush=True)
 
+    # every layout copy individually — these are the relayout sites the
+    # NHWC alignment work targets (VERDICT r3 item 4)
+    print("\nall copy instructions:", flush=True)
+    for name, d in per_instr.most_common():
+        if bucket(name) != "copy":
+            continue
+        meta = instr_meta.get(name, {})
+        extra = " | ".join(
+            str(meta[k])[:150] for k in ("long_name", "tf_op") if k in meta)
+        print(f"  {d/n_steps*1e3:8.3f} ms  {name[:30]}  {extra[:220]}",
+              flush=True)
+
 
 if __name__ == "__main__":
     main()
