@@ -13,9 +13,12 @@ SD-2-inpainting config: 3->4 latent channels, block_out_channels
 scaling_factor 0.18215.
 
 Layout is NHWC.  The reference's tiled/sliced encode-decode memory
-escape hatches (AutoencoderKL.py:200-290) are unnecessary on TPU at
-512x384 and are intentionally omitted; batch sharding over the mesh is
-the scaling mechanism instead.
+escape hatches (AutoencoderKL.py:200-290) are provided as
+``tiled_encode`` / ``tiled_decode`` below (overlap-blend tiling with an
+interior-match guarantee, tested in tests/test_models.py); at 512x384
+they are unneeded — batch sharding over the mesh is the primary scaling
+mechanism — but large-image offline use gets the same escape hatch the
+reference has.
 """
 
 from __future__ import annotations
