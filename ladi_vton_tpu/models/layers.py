@@ -271,6 +271,13 @@ class _DenseParams(nn.Module):
         return kernel, bias
 
 
+# self-attn sequence lengths above this take the PLAIN projection path
+# even under attn_impl="bhsd" (None = bhsd at every length).  Probe knob
+# for per-resolution A/Bs: at S=3072 the bhsd projection einsum's output
+# layout forces a relayout copy before the flash kernel (PERF.md §12).
+BHSD_SEQ_CAP: Optional[int] = None
+
+
 class CrossAttention(nn.Module):
     """Multi-head attention; self when ``context`` is None.
 
@@ -317,7 +324,9 @@ class CrossAttention(nn.Module):
             out = out.reshape(B, Sq, inner)
             return nn.Dense(self.out_dim, dtype=self.dtype,
                             param_dtype=self.param_dtype, name="to_out")(out)
-        if self.attn_impl == "bhsd" and context.shape[1] > 128:
+        if (self.attn_impl == "bhsd" and context.shape[1] > 128
+                and (BHSD_SEQ_CAP is None
+                     or context.shape[1] <= BHSD_SEQ_CAP)):
             cd = lambda a: a.astype(self.dtype)
             wq, _ = _DenseParams((x.shape[-1], inner), use_bias=False,
                                  param_dtype=self.param_dtype,

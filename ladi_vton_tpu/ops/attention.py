@@ -54,6 +54,12 @@ def xla_attention(
 # Sk=77 and the UNet mid block Sk=48; full-UNet sweep in docs/PERF.md)
 XLA_SHORT_KV = 128
 
+# route kv_seq >= this to XLA as well (None = never).  Probe knob for
+# per-resolution A/Bs: at the hi-res UNet blocks the flash custom
+# call's layout constraint forces relayout copies on its operands
+# (docs/PERF.md §12), which XLA attention would not pay.
+XLA_LONG_KV: Optional[int] = None
+
 
 def dot_product_attention(
     q: jax.Array,
@@ -98,7 +104,8 @@ def dot_product_attention(
                 q, k, v, scale=scale, bhsd=bhsd,
                 interpret=jax.default_backend() != "tpu")
         kv_seq = k.shape[2] if bhsd else k.shape[1]
-        if causal or kv_seq <= XLA_SHORT_KV:
+        if (causal or kv_seq <= XLA_SHORT_KV
+                or (XLA_LONG_KV is not None and kv_seq >= XLA_LONG_KV)):
             # causal (CLIP text) and short-KV cross-attention (77 text
             # tokens) run faster through XLA than the flash kernel
             # (0.56 vs 0.88 ms at Sq=3072 — tools/perf.py transformer-internals; docs/PERF.md §1)

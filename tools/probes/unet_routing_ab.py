@@ -46,8 +46,15 @@ import ladi_vton_tpu.ops.layer_norm as ln_mod  # noqa: E402
 
 _orig_ln = ln_mod.layer_norm
 
+import ladi_vton_tpu.models.layers as layers_mod  # noqa: E402
+import ladi_vton_tpu.ops.attention as attn_mod  # noqa: E402
 
-def set_variant(gn_xla: bool, geglu_xla: bool, ln_pallas: bool = False):
+_orig_big_band = gn_mod._ONE_PASS_BIG_BAND
+
+
+def set_variant(gn_xla: bool, geglu_xla: bool, ln_pallas: bool = False,
+                gn_hires_xla: bool = False, bhsd_cap=None,
+                xla_long_kv=None):
     gn_mod.group_norm = (functools.partial(_orig_gn, impl="xla")
                          if gn_xla else _orig_gn)
     geglu_mod.geglu = (geglu_mod.geglu_xla if geglu_xla else _orig_geglu)
@@ -57,6 +64,13 @@ def set_variant(gn_xla: bool, geglu_xla: bool, ln_pallas: bool = False):
         (lambda x, s, b, *, eps=1e-5, impl=None:
          _orig_ln(x, s, b, eps=eps, impl="pallas"))
         if ln_pallas else _orig_ln)
+    # per-resolution knobs (PERF.md §12 layout-copy attack): narrow the
+    # one-pass big band so the 15.7M-elem 64x48 UNet slab routes to the
+    # lane-preserving XLA GN; cap bhsd / force XLA attention at S=3072
+    gn_mod._ONE_PASS_BIG_BAND = ((8_400_000, 8_400_000) if gn_hires_xla
+                                 else _orig_big_band)
+    layers_mod.BHSD_SEQ_CAP = bhsd_cap
+    attn_mod.XLA_LONG_KV = xla_long_kv
 
 
 def time_unet():
@@ -82,15 +96,27 @@ def time_unet():
 
 def main():
     print("devices:", jax.devices(), flush=True)
-    for name, gn_xla, gg_xla, ln_p in [("base", False, False, False),
-                                       ("gn-xla", True, False, False),
-                                       ("geglu-xla", False, True, False),
-                                       ("both-xla", True, True, False),
-                                       ("ln-pallas", False, False, True)]:
-        set_variant(gn_xla, gg_xla, ln_p)
+    variants = [
+        ("base", {}),
+        ("gn-hires-xla", dict(gn_hires_xla=True)),
+        ("attn-plain-hires", dict(bhsd_cap=1024)),
+        ("attn-xla-hires", dict(xla_long_kv=3072)),
+        ("gn-hires+attn-plain", dict(gn_hires_xla=True, bhsd_cap=1024)),
+        ("gn-hires+attn-xla", dict(gn_hires_xla=True, xla_long_kv=3072)),
+        ("gn-xla", dict(gn_xla=True)),
+        ("geglu-xla", dict(geglu_xla=True)),
+        ("ln-pallas", dict(ln_pallas=True)),
+    ]
+    only = os.environ.get("ROUTING_AB_ONLY")
+    if only:
+        keep = set(only.split(","))
+        variants = [v for v in variants if v[0] in keep]
+    for name, kw in variants:
+        set_variant(kw.pop("gn_xla", False), kw.pop("geglu_xla", False),
+                    kw.pop("ln_pallas", False), **kw)
         dt = time_unet()
         mfu = 0.575e12 * B / dt / PEAK
-        print(f"{name:10s} {dt*1e3:7.2f} ms  mfu {mfu*100:5.1f}%",
+        print(f"{name:20s} {dt*1e3:7.2f} ms  mfu {mfu*100:5.1f}%",
               flush=True)
 
 
