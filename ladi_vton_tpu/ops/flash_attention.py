@@ -36,24 +36,46 @@ def _round_up(x: int, m: int) -> int:
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int, block_k: int,
                 scale: float):
-    """One (batch*head, q_block) cell. Refs: q (1,bq,D), k/v (1,Skp,D)."""
-    q = q_ref[0].astype(jnp.float32) * jnp.float32(scale)  # (bq, D)
+    """One (batch*head, q_block) cell. Refs: q (1,bq,D), k/v (1,Skp,D).
+
+    Both dots take the INPUT dtype (bf16 in production) with fp32
+    accumulation — the MXU's native mode, and the same recipe as the
+    ``xla_attention`` oracle (bf16 operands, ``preferred_element_type``
+    fp32, probs cast back to the value dtype).  Measured A/B at the hot
+    UNet shape (80x3072x64, PERF.md §12): this is a TIE with the old
+    explicit-fp32-upcast recipe — Mosaic already lowered the upcast
+    dots to native bf16 MXU passes, and the outputs are bit-identical.
+    We keep the input-dtype form because it states the intent directly
+    instead of relying on that folding, and because applying the scale
+    in fp32 on the (bq, block_k) score tile (the third variant A/B'd)
+    measurably LOSES ~60%.  The softmax chain (max, exp, rescale) stays
+    in fp32.  The padding mask is compile-time skipped when the KV
+    length is already a block multiple (every hot UNet shape:
+    3072/768/192 self-attn; cross-attn Sk=77 pads to 128 and keeps the
+    mask).
+    """
+    # scale q up front in its own dtype: the hot D=64 gives scale=0.125,
+    # an exact power of two, so bf16 scaling is lossless and avoids a
+    # (bq, block_k)-sized fp32 multiply on every score tile
+    q = q_ref[0] * jnp.asarray(scale, q_ref.dtype)  # (bq, D)
     bq = q.shape[0]
     d = q.shape[1]
     skp = k_ref.shape[1]
     num_kv_blocks = skp // block_k
+    masked = kv_len < skp
 
     def body(i, carry):
         m_prev, l_prev, acc_prev = carry
-        k_blk = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        k_blk = k_ref[0, pl.ds(i * block_k, block_k), :]
+        v_blk = v_ref[0, pl.ds(i * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (bq, block_k)
-        col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
-        valid = (col + i * block_k) < kv_len
-        s = jnp.where(valid, s, _NEG_INF)
+        )  # (bq, block_k) fp32
+        if masked:
+            col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
+            valid = (col + i * block_k) < kv_len
+            s = jnp.where(valid, s, _NEG_INF)
 
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
@@ -61,7 +83,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int, block_k: int,
         alpha = jnp.exp(m_prev - m_new)
         l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
         acc_new = acc_prev * alpha + jax.lax.dot_general(
-            p, v_blk, (((1,), (0,)), ((), ())),
+            p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         return m_new, l_new, acc_new
