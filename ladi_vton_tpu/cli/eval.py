@@ -77,6 +77,10 @@ def parse_args(argv=None):
                    help="Generation height (the reference fixes 512)")
     p.add_argument("--width", type=int, default=384,
                    help="Generation width (reference fixes 384)")
+    p.add_argument("--tensor_parallel", type=int, default=1,
+                   help="Shard the UNet matmuls over a 'model' mesh axis "
+                        "of this size (parallel/tp.py); devices split "
+                        "data x model.  Beyond-reference option.")
     return p.parse_args(argv)
 
 
@@ -190,7 +194,7 @@ def main(argv=None):
     # pad_last keeps every batch full.
     from ladi_vton_tpu.core.mesh import MeshSpec, make_mesh
 
-    mesh = make_mesh(MeshSpec())
+    mesh = make_mesh(MeshSpec(model=args.tensor_parallel))
     n_data = mesh.shape["data"]
     batch_size = -(-args.batch_size // n_data) * n_data
     loader = BatchLoader(dataset, batch_size,

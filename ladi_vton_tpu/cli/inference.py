@@ -79,6 +79,13 @@ def parse_args(argv=None):
     parser.add_argument("--tokenizer_dir", type=str, default=None,
                         help="Directory with vocab.json + merges.txt "
                              "(defaults to <sd2_model_dir>/tokenizer)")
+    parser.add_argument("--tensor_parallel", type=int, default=1,
+                        help="Shard the UNet's attention/FF matmuls over "
+                             "a 'model' mesh axis of this size (Megatron "
+                             "column/row plan, parallel/tp.py); devices "
+                             "split data x model.  Beyond-reference "
+                             "latency/memory option — DP alone is "
+                             "throughput-optimal (docs/PERF.md).")
     parser.add_argument("--height", type=int, default=512,
                         help="Generation height (the reference fixes "
                              "512; must be divisible by 64)")
@@ -140,7 +147,7 @@ def main(argv=None):
     from ladi_vton_tpu.core.mesh import MeshSpec, make_mesh
     from ladi_vton_tpu.parallel.sharding import eval_placement
 
-    mesh = make_mesh(MeshSpec())
+    mesh = make_mesh(MeshSpec(model=args.tensor_parallel))
     n_data = mesh.shape["data"]
     args.batch_size = -(-args.batch_size // n_data) * n_data
     put_repl, put_data = eval_placement(mesh)

@@ -65,6 +65,11 @@ def parse_args(argv=None):
                     help="vocab.json+merges.txt dir (defaults to "
                          "<sd2_model_dir>/tokenizer)")
     ap.add_argument("--num_vstar", type=int, default=16)
+    ap.add_argument("--tensor_parallel", type=int, default=1,
+                    help="Shard the UNet matmuls over a 'model' mesh "
+                         "axis of this size (parallel/tp.py) — the "
+                         "latency lever when one request cannot fill a "
+                         "device batch; devices split data x model.")
     return ap.parse_args(argv)
 
 
@@ -94,6 +99,17 @@ def main(argv=None):
     pipe = TryOnPipeline(unet=unet, vae=vae, emasc=emasc,
                          scheduler=make_scheduler(args.scheduler))
     params = {"unet": unet_vars, "vae": vae_vars, "emasc": emasc_vars}
+
+    if args.tensor_parallel > 1:
+        # TP placement drives the sharding: the jitted sampler programs
+        # see committed model-sharded UNet params and GSPMD inserts the
+        # per-block all-reduces (parallel/tp.py; eval_placement docs)
+        from ladi_vton_tpu.core.mesh import MeshSpec, make_mesh
+        from ladi_vton_tpu.parallel.sharding import eval_placement
+
+        mesh = make_mesh(MeshSpec(model=args.tensor_parallel))
+        put_repl, _ = eval_placement(mesh)
+        params = put_repl(params)
 
     service = TryOnService(
         pipe, params, batch_size=args.batch_size, height=args.height,

@@ -4,3 +4,11 @@ from ladi_vton_tpu.parallel.sharding import (
     make_mesh,
     MeshSpec,
 )
+from ladi_vton_tpu.parallel.tp import (
+    tensor_parallel_sampler,
+    tp_jit_step,
+    tp_place,
+    tp_shardings,
+    tp_train_state,
+    unet_tp_specs,
+)

@@ -11,9 +11,9 @@ The reference's only distribution strategy is DDP through HF accelerate
   chip denoises its shard of the batch; outputs gather back for saving
   (the reference's per-rank loop + per-process save).
 
-A ``model`` mesh axis is provisioned for tensor-parallel layouts; at
-LaDI-VTON's scale (0.9B-param UNet, batch-dominated work) DP saturates
-a v5e-8, so TP is intentionally not spent complexity here.
+DP is the primary axis (LaDI-VTON's work is batch-dominated); the
+``model`` mesh axis carries the Megatron-style tensor-parallel layout
+in ``parallel.tp`` for the latency/memory cases DP cannot split.
 """
 
 from __future__ import annotations
@@ -42,11 +42,28 @@ def eval_placement(mesh) -> tuple[Callable, Callable]:
     across the mesh with XLA inserting any needed collectives — the
     TPU equivalent of the reference's accelerator.prepare(dataloader)
     DDP eval sharding (reference src/inference.py:223).
+
+    When the mesh carries a ``model`` axis > 1 (``--tensor_parallel`` on
+    the CLIs), a weight tree with a top-level ``"unet"`` key gets the
+    Megatron column/row plan from ``parallel.tp`` on that sub-tree
+    instead of replication — the placement is the whole mechanism:
+    every jitted sampler downstream is placement-driven, so GSPMD
+    shards the attention/FF matmuls over ``model`` and inserts the
+    per-block all-reduces.
     """
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
+    tp = dict(mesh.shape).get("model", 1)
 
     def put_replicated(tree):
+        if tp > 1 and isinstance(tree, dict) and "unet" in tree:
+            from ladi_vton_tpu.parallel.tp import tp_shardings
+
+            return {
+                k: (jax.device_put(v, tp_shardings(v, mesh))
+                    if k == "unet" else jax.device_put(v, repl))
+                for k, v in tree.items()
+            }
         return jax.device_put(tree, repl)
 
     def put_sharded(tree):

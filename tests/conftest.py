@@ -30,6 +30,16 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_platform_name", "cpu")
 jax.config.update("jax_enable_x64", False)
 
+# Persistent compilation cache: XLA compiles dominate the suite's wall
+# clock on this 1-core host (the tier was measured at ~27 min cold).
+# Warm-cache reruns skip them; the cache key covers program + flags +
+# platform, so it is correctness-neutral.
+os.makedirs(os.path.join(os.path.dirname(__file__), ".jax_cache"),
+            exist_ok=True)
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import pytest  # noqa: E402
 
 # ---------------------------------------------------------------------------

@@ -46,4 +46,6 @@ PROBES = {
                         "conditioning-stage cost (TPS/refine/ViT-H/PTE)"),
     "driver-pipeline": ("tools.probes.driver_pipeline",
                         "serial vs pipelined batch-stream driver loop"),
+    "int8-dots": ("tools.probes.int8_dots",
+                  "int8 W8A8 dots vs bf16 at UNet matmul shapes"),
 }
