@@ -148,6 +148,12 @@ def main(argv=None):
     from ladi_vton_tpu.parallel.sharding import eval_placement
 
     mesh = make_mesh(MeshSpec(model=args.tensor_parallel))
+    if args.tensor_parallel > 1:
+        # per-shard flash attention under TP (compile-time routing;
+        # parallel/tp.py tp_attention_mesh docstring)
+        from ladi_vton_tpu.ops import attention as _attention_ops
+
+        _attention_ops.TP_SHARD_MESH = mesh
     n_data = mesh.shape["data"]
     args.batch_size = -(-args.batch_size // n_data) * n_data
     put_repl, put_data = eval_placement(mesh)

@@ -110,6 +110,11 @@ def main(argv=None):
         mesh = make_mesh(MeshSpec(model=args.tensor_parallel))
         put_repl, _ = eval_placement(mesh)
         params = put_repl(params)
+        # per-shard flash attention under TP (compile-time routing;
+        # parallel/tp.py tp_attention_mesh docstring)
+        from ladi_vton_tpu.ops import attention as _attention_ops
+
+        _attention_ops.TP_SHARD_MESH = mesh
 
     service = TryOnService(
         pipe, params, batch_size=args.batch_size, height=args.height,

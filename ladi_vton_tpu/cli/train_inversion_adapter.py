@@ -47,6 +47,9 @@ def parse_args(argv=None):
     p.add_argument("--local_rank", type=int, default=-1)
     p.add_argument("--checkpointing_steps", type=int, default=50000)
     p.add_argument("--resume_from_checkpoint", type=str, default=None)
+    p.add_argument("--async_checkpointing", action="store_true",
+                   help="overlap checkpoint writes with training "
+                        "(background serialization; core/checkpoint.py)")
     p.add_argument("--enable_xformers_memory_efficient_attention",
                    action="store_true")
     p.add_argument("--gradient_checkpointing", action="store_true")
@@ -188,7 +191,8 @@ def main(argv=None):
         state = jax.device_put(state, NamedSharding(mesh, P()))
         frozen = jax.device_put(frozen, NamedSharding(mesh, P()))
 
-        ckpt = CheckpointManager(args.output_dir, keep=2)
+        ckpt = CheckpointManager(args.output_dir, keep=2,
+                                 async_save=args.async_checkpointing)
         start_step = 0
         if args.resume_from_checkpoint:
             try:

@@ -81,6 +81,10 @@ def parse_args(argv=None):
                    help="ZeRO-1: shard Adam moments over the data mesh "
                         "axis (saves ~7GB/chip for the 0.87B UNet); "
                         "numerically identical to replicated DDP")
+    p.add_argument("--async_checkpointing", action="store_true",
+                   help="overlap checkpoint writes with training: save "
+                        "returns after the host snapshot, serialization "
+                        "runs on a background thread (core/checkpoint.py)")
     return p.parse_args(argv)
 
 
@@ -251,7 +255,8 @@ def main(argv=None):
             state = jax.device_put(state, repl)
         frozen = jax.device_put(frozen, repl)
 
-        ckpt = CheckpointManager(args.output_dir, keep=2)
+        ckpt = CheckpointManager(args.output_dir, keep=2,
+                                 async_save=args.async_checkpointing)
         start_step = 0
         if args.resume_from_checkpoint:
             try:

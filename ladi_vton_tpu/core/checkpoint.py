@@ -28,15 +28,33 @@ import numpy as np
 
 class CheckpointManager:
     """Orbax checkpointing with reference-style ``checkpoint-{step}``
-    naming and keep-last-N garbage collection."""
+    naming and keep-last-N garbage collection.
 
-    def __init__(self, directory: str | Path, *, keep: int = 2):
+    ``async_save=True`` overlaps the checkpoint write with training:
+    ``save`` returns once the arrays are snapshotted to host memory
+    (device buffers free to be donated into the next step) and the
+    serialization runs on a background thread — a full train state is
+    ~10 GB and a blocking write stalls every chip for its duration.
+    Atomicity is unchanged (orbax tmp+rename: ``_step_dirs`` never sees
+    a partial checkpoint), saves serialize against each other, and
+    ``restore``/GC wait for any in-flight write first.  Call ``wait()``
+    (or just let the next ``save`` do it) before reading the directory
+    externally.
+    """
+
+    def __init__(self, directory: str | Path, *, keep: int = 2,
+                 async_save: bool = False):
         import orbax.checkpoint as ocp
 
         self.directory = Path(directory).absolute()
         self.directory.mkdir(parents=True, exist_ok=True)
         self.keep = keep
-        self._ckptr = ocp.StandardCheckpointer()
+        self.async_save = async_save
+        if async_save:
+            self._ckptr = ocp.AsyncCheckpointer(
+                ocp.StandardCheckpointHandler())
+        else:
+            self._ckptr = ocp.StandardCheckpointer()
 
     def _step_dirs(self) -> list[tuple[int, Path]]:
         out = []
@@ -50,13 +68,11 @@ class CheckpointManager:
         dirs = self._step_dirs()
         return dirs[-1][0] if dirs else None
 
-    def save(self, step: int, state: Any):
-        path = self.directory / f"checkpoint-{step}"
-        self._ckptr.save(path, state)
-        self._ckptr.wait_until_finished()
-        # keep-last-N GC (reference train_vto.py:701-709)
+    def _gc(self, reserve: int = 0):
+        """keep-last-N GC (reference train_vto.py:701-709).  ``reserve``
+        counts an about-to-be-written checkpoint against the budget."""
         dirs = self._step_dirs()
-        for _, old in dirs[: max(0, len(dirs) - self.keep)]:
+        for _, old in dirs[: max(0, len(dirs) + reserve - self.keep)]:
             import shutil
 
             try:
@@ -64,13 +80,40 @@ class CheckpointManager:
             except OSError as e:  # GC must never kill training
                 print(f"checkpoint GC failed for {old}: {e}")
 
+    def save(self, step: int, state: Any):
+        path = self.directory / f"checkpoint-{step}"
+        if self.async_save:
+            import orbax.checkpoint as ocp
+
+            # serialize with the previous in-flight write, GC while the
+            # new one is BACKGROUND (completed dirs only — the tmp dir
+            # of the pending write is invisible to _step_dirs)
+            self._ckptr.wait_until_finished()
+            self._gc(reserve=1)
+            self._ckptr.save(path, args=ocp.args.StandardSave(state))
+            return
+        self._ckptr.save(path, state)
+        self._ckptr.wait_until_finished()
+        self._gc()
+
+    def wait(self):
+        """Block until any in-flight async save is durably on disk."""
+        self._ckptr.wait_until_finished()
+
     def restore(self, state_like: Any, step: int | str = "latest") -> Any:
+        self._ckptr.wait_until_finished()
         if step == "latest":
             step = self.latest_step()
             if step is None:
                 raise FileNotFoundError(
                     f"no checkpoints under {self.directory}")
         path = self.directory / f"checkpoint-{step}"
+        if self.async_save:
+            import orbax.checkpoint as ocp
+
+            # AsyncCheckpointer routes kwargs through the args API
+            return self._ckptr.restore(
+                path, args=ocp.args.StandardRestore(state_like))
         return self._ckptr.restore(path, target=state_like)
 
     def restore_replacing(self, state: Any,
@@ -79,6 +122,7 @@ class CheckpointManager:
         buffers first, then restores against an abstract target — a full
         train state is ~10GB and a naive restore would hold two copies
         (HBM-exhausting on a 16GB chip)."""
+        self._ckptr.wait_until_finished()
         if step == "latest":
             if self.latest_step() is None:
                 raise FileNotFoundError(

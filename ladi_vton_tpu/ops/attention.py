@@ -60,6 +60,20 @@ XLA_SHORT_KV = 128
 # (docs/PERF.md §12), which XLA attention would not pay.
 XLA_LONG_KV: Optional[int] = None
 
+# Tensor-parallel shard_map routing (parallel/tp.py).  Under GSPMD
+# auto-partitioning the Pallas flash custom call is opaque: with the
+# qkv projections column-sharded over the ``model`` mesh axis, XLA
+# would all-gather the head-sharded activations to run the kernel
+# replicated.  Heads are independent in attention, so when this knob
+# holds the 2D mesh the dispatch instead runs per-shard under
+# ``jax.shard_map`` — each chip executes the flash kernel on its own
+# heads, zero collectives (the head axis splits over ``model``, the
+# batch over ``data``).  Falls back to the global GSPMD path whenever
+# the head or batch axis does not divide the mesh (SD-2 level 0 has 5
+# heads — parallel/tp.py docstring).  Set by the CLIs' TP wiring; a
+# compile-time routing knob in the same idiom as XLA_LONG_KV above.
+TP_SHARD_MESH = None  # Optional[jax.sharding.Mesh]
+
 
 def dot_product_attention(
     q: jax.Array,
@@ -96,6 +110,26 @@ def dot_product_attention(
 
     if impl == "xla":
         return xla_any(q, k, v)
+
+    mesh = TP_SHARD_MESH
+    if mesh is not None and impl == "auto" and not causal:
+        from jax.sharding import PartitionSpec as P
+
+        axes = dict(mesh.shape)
+        tp, dp = axes.get("model", 1), axes.get("data", 1)
+        h_ax = 1 if bhsd else 2
+        if (tp > 1 and q.shape[h_ax] % tp == 0 and q.shape[0] % dp == 0
+                and k.shape[h_ax] % tp == 0):
+            spec = (P("data", "model", None, None) if bhsd
+                    else P("data", None, "model", None))
+            inner = functools.partial(dot_product_attention, causal=False,
+                                      scale=scale, impl="tp_shard_body",
+                                      bhsd=bhsd)
+            return jax.shard_map(inner, mesh=mesh, in_specs=(spec,) * 3,
+                                 out_specs=spec)(q, k, v)
+
+    if impl == "tp_shard_body":
+        impl = "auto"  # per-shard body: normal routing, no re-wrap
     if impl in ("auto", "pallas"):
         from ladi_vton_tpu.ops.flash_attention import flash_attention
 

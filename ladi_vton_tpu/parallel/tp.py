@@ -42,20 +42,48 @@ Two honesty notes, measured/architectural:
   (320/640/1280) are what placement requires to divide ``tp``.
 
 On the Pallas kernels: under GSPMD auto-partitioning the flash
-attention / fused-GEGLU custom calls are opaque, so the TP path is
-validated with the XLA implementations (``attn_impl="xla"``; all ops
-route to XLA when lowered for CPU anyway — ops/attention.py).  Since
-heads are independent, the flash kernel is shard_map-compatible
-per-shard for a real multi-chip deployment; this repo has one physical
-chip, so that wiring stays documented-not-measured.
+attention / fused-GEGLU custom calls are opaque — left alone, XLA
+all-gathers the head-sharded q/k/v and runs the kernel replicated.
+Since heads are independent, ``tp_attention_mesh`` routes the dispatch
+through a per-shard ``jax.shard_map`` instead (head axis over
+``model``, batch over ``data``, zero collectives inside the attention;
+``ops.attention.TP_SHARD_MESH``).  The wiring is validated numerically
+on the 8-device CPU mesh (where the per-shard body routes to XLA —
+same dispatch, same specs); its perf on real multi-chip hardware stays
+unmeasured here (one physical chip).
 """
 
 from __future__ import annotations
 
+import contextlib
 from typing import Any, Callable
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@contextlib.contextmanager
+def tp_attention_mesh(mesh: Mesh):
+    """Route flash attention through per-shard ``shard_map`` on ``mesh``.
+
+    Sets ``ops.attention.TP_SHARD_MESH`` for the dynamic extent (a
+    compile-time routing knob: it matters while the sampler/step is
+    TRACED, not while it runs).  Under GSPMD the Pallas flash custom
+    call is opaque — without this, a TP-sharded UNet all-gathers the
+    head-sharded q/k/v to run the kernel replicated; with it, each chip
+    runs the kernel on its own heads (heads are independent; zero
+    collectives inside the attention).  Head counts that don't divide
+    the ``model`` axis fall back to GSPMD per call site (SD-2 level 0
+    has 5 heads — module docstring).
+    """
+    from ladi_vton_tpu.ops import attention
+
+    prev = attention.TP_SHARD_MESH
+    attention.TP_SHARD_MESH = mesh
+    try:
+        yield
+    finally:
+        attention.TP_SHARD_MESH = prev
 
 
 def _tp_leaf_spec(path_keys: tuple[str, ...]) -> P:

@@ -173,4 +173,8 @@ def train_loop(
                 if on_checkpoint:
                     on_checkpoint(step, state)
     ckpt_manager.save(step, state)
+    if hasattr(ckpt_manager, "wait"):
+        # async_save managers: the final checkpoint must be durable
+        # before the process exits
+        ckpt_manager.wait()
     return state, step

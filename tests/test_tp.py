@@ -134,6 +134,68 @@ def test_eval_placement_tp_shards_unet():
     assert x.sharding.spec == P("data")
 
 
+def test_tp_shard_map_attention_matches_global():
+    """With TP_SHARD_MESH set, the attention dispatch runs per-shard
+    under shard_map (head axis over ``model``) and is numerically the
+    un-sharded dispatch; head counts that don't divide the model axis
+    fall back to the global path instead of erroring."""
+    from ladi_vton_tpu.ops.attention import dot_product_attention
+    from ladi_vton_tpu.parallel.tp import tp_attention_mesh
+
+    mesh = _need_mesh(data=2, model=4)
+    B, S, H_, D = 4, 64, 8, 16
+    ks = [jax.random.normal(jax.random.key(i), (B, S, H_, D))
+          for i in range(3)]
+    ref = dot_product_attention(*ks)
+    with tp_attention_mesh(mesh):
+        out = jax.jit(dot_product_attention)(*ks)
+        # head-major layout shards axis 1 instead
+        bhsd = [jnp.transpose(a, (0, 2, 1, 3)) for a in ks]
+        out_h = jax.jit(
+            lambda q, k, v: dot_product_attention(q, k, v, bhsd=True)
+        )(*bhsd)
+        # 5 heads don't divide model=4 -> global GSPMD path, same math
+        k5 = [a[:, :, :5] for a in ks]
+        out5 = jax.jit(dot_product_attention)(*k5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(jnp.transpose(out_h, (0, 2, 1, 3))), np.asarray(ref),
+        rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out5),
+                               np.asarray(dot_product_attention(*k5)),
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_tp_unet_forward_with_shard_map_attention():
+    """Whole tiny UNet, attn_impl='auto', TP-placed params, shard_map
+    attention routing active — matches the replicated forward.  This is
+    the exact configuration the CLIs' --tensor_parallel wiring sets up
+    (eval_placement TP plan + ops.attention.TP_SHARD_MESH)."""
+    from ladi_vton_tpu.parallel.tp import tp_attention_mesh
+
+    mesh = _need_mesh(data=2, model=4)
+    unet = UNet2DCondition(TINY_UNET)  # default attn_impl (auto-routed)
+    rng = jax.random.key(1)
+    params = unet.init(rng, jnp.zeros((1, H // 8, W // 8, 31)),
+                       jnp.asarray([0]), jnp.zeros((1, 7, 64)))
+
+    x = jax.random.normal(jax.random.key(2), (4, H // 8, W // 8, 31))
+    t = jnp.asarray([7, 7, 7, 7])
+    ctx = jax.random.normal(jax.random.key(3), (4, 7, 64))
+    ref = unet.apply(params, x, t, ctx)
+
+    placed = tp_place(params, mesh)
+    data = jax.sharding.NamedSharding(mesh, P("data"))
+    with tp_attention_mesh(mesh):
+        out = jax.jit(unet.apply)(placed, jax.device_put(x, data),
+                                  jax.device_put(t, data),
+                                  jax.device_put(ctx, data))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-4)
+
+
 def test_tp_shardings_reject_indivisible_axis():
     # inner width 32 not divisible by tp=3 -> clear error, not an
     # opaque device_put failure downstream

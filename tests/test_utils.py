@@ -88,6 +88,37 @@ def test_checkpoint_manager_save_restore_gc(tmp_path):
         CheckpointManager(tmp_path / "empty").restore(state)
 
 
+def test_async_checkpoint_manager_overlap_safe(tmp_path):
+    """async_save: saves return before the write completes, mutation of
+    the live state after save() cannot corrupt the snapshot (orbax
+    copies to host inside save), keep-N GC still holds, and restore
+    waits for the in-flight write."""
+    from ladi_vton_tpu.core.checkpoint import CheckpointManager
+    from ladi_vton_tpu.train.steps import TrainState, make_optimizer
+
+    state = TrainState.create({"w": jnp.ones((64, 64))},
+                              make_optimizer(1e-3))
+    mgr = CheckpointManager(tmp_path / "ck", keep=2, async_save=True)
+
+    for step in (1, 2, 3):
+        snap = state.replace(step=jnp.asarray(step),
+                             params={"w": jnp.full((64, 64), float(step))})
+        mgr.save(step, snap)
+        # mutate the live tree right after save returns — must not
+        # affect what landed on disk
+        snap = snap.replace(params={"w": jnp.full((64, 64), -1.0)})
+    restored = mgr.restore(state, 3)  # waits for the in-flight write
+    assert int(restored.step) == 3
+    np.testing.assert_allclose(np.asarray(restored.params["w"]), 3.0)
+    mgr.wait()
+    assert [s for s, _ in mgr._step_dirs()] == [2, 3]  # keep-2 GC
+
+    # restore_replacing also serializes against an in-flight save
+    mgr.save(4, restored.replace(step=jnp.asarray(4)))
+    again = mgr.restore_replacing(restored, 4)
+    assert int(again.step) == 4
+
+
 def test_export_torch_state_layouts(tmp_path):
     from ladi_vton_tpu.core.checkpoint import export_torch_state
 

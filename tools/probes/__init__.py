@@ -48,4 +48,6 @@ PROBES = {
                         "serial vs pipelined batch-stream driver loop"),
     "int8-dots": ("tools.probes.int8_dots",
                   "int8 W8A8 dots vs bf16 at UNet matmul shapes"),
+    "latency": ("tools.probes.latency",
+                "single-request (B=1/2/4) serving latency, ddim50 + dpm20"),
 }
