@@ -85,6 +85,12 @@ def parse_args(argv=None):
                    help="overlap checkpoint writes with training: save "
                         "returns after the host snapshot, serialization "
                         "runs on a background thread (core/checkpoint.py)")
+    p.add_argument("--tensor_parallel", type=int, default=1,
+                   help="2D data x model training: shard the UNet "
+                        "attention/FF matmuls (and their Adam moments) "
+                        "over a 'model' mesh axis of this size "
+                        "(parallel/tp.py); mutually exclusive with "
+                        "--shard_optimizer_states")
     return p.parse_args(argv)
 
 
@@ -239,20 +245,39 @@ def main(argv=None):
     if adapter is not None and not args.train_inversion_adapter:
         frozen["adapter"] = adapter_vars
 
-    mesh = make_mesh(MeshSpec())
+    if args.tensor_parallel > 1 and args.shard_optimizer_states:
+        raise ValueError(
+            "--shard_optimizer_states (ZeRO-1 over the data axis) and "
+            "--tensor_parallel are mutually exclusive: under TP the "
+            "Adam moments already shard over the model axis with their "
+            "parameters (parallel/tp.py tp_train_state)")
+    mesh = make_mesh(MeshSpec(model=args.tensor_parallel))
     with mesh:
-        jitted, shard_batch = shard_step(
-            step_fn, mesh, state=state,
-            zero1=args.shard_optimizer_states)
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         repl = NamedSharding(mesh, P())
-        if args.shard_optimizer_states:
-            from ladi_vton_tpu.train.steps import zero1_state_sharding
+        if args.tensor_parallel > 1:
+            from ladi_vton_tpu.ops import attention as _attention_ops
+            from ladi_vton_tpu.parallel.tp import (
+                tp_jit_step,
+                tp_train_state,
+            )
 
-            state = jax.device_put(state, zero1_state_sharding(state, mesh))
+            # per-shard flash attention under TP (compile-time routing)
+            _attention_ops.TP_SHARD_MESH = mesh
+            jitted, shard_batch = tp_jit_step(step_fn, mesh)
+            state = tp_train_state(state, mesh)
         else:
-            state = jax.device_put(state, repl)
+            jitted, shard_batch = shard_step(
+                step_fn, mesh, state=state,
+                zero1=args.shard_optimizer_states)
+            if args.shard_optimizer_states:
+                from ladi_vton_tpu.train.steps import zero1_state_sharding
+
+                state = jax.device_put(state,
+                                       zero1_state_sharding(state, mesh))
+            else:
+                state = jax.device_put(state, repl)
         frozen = jax.device_put(frozen, repl)
 
         ckpt = CheckpointManager(args.output_dir, keep=2,

@@ -207,7 +207,7 @@ def test_tp_shardings_reject_indivisible_axis():
 
 
 @pytest.mark.slow
-def test_vto_train_step_2d_matches_single_device():
+def test_vto_train_step_2d_matches_single_device(tmp_path):
     """One DP(2) x TP(4) vto train step == the plain single-device step:
     same loss, same updated params, with the UNet matmul params (and
     their Adam moments) actually sharded over the model axis.
@@ -298,6 +298,21 @@ def test_vto_train_step_2d_matches_single_device():
     qk2 = s_tp.params["unet"]["params"]["down_blocks_0"]["attentions_0"][
         "transformer_blocks_0"]["attn1"]["to_q"]["kernel"]
     assert "model" in str(qk2.sharding.spec)
+
+    # TP checkpoint round trip (the dryrun phase-2 cycle on the 2D
+    # mesh): sharded save -> restore INTO the live memory -> the
+    # model-axis shardings survive and the restored state steps
+    from ladi_vton_tpu.core.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(tmp_path / "ck", keep=2)
+    mgr.save(1, s_tp)
+    restored = mgr.restore_replacing(s_tp, "latest")
+    qk3 = restored.params["unet"]["params"]["down_blocks_0"][
+        "attentions_0"]["transformer_blocks_0"]["attn1"]["to_q"]["kernel"]
+    assert "model" in str(qk3.sharding.spec)
+    s3, m3 = jitted(restored, jax.device_put(frozen, repl),
+                    shard_batch(batch), rng)
+    assert np.isfinite(float(m3["loss"]))
 
 
 @pytest.mark.slow
