@@ -35,7 +35,14 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 REF_A100_IMG_PER_SEC = 1.75
 
 
-def main():
+def main(batch_sweep=None):
+    """Default (no args): the driver's headline bench at B=8.
+
+    ``batch_sweep=[8,16,24,32]`` (CLI ``--batch 8,16,24,32``) instead
+    measures img/s/chip at each batch size for ddim-50 and dpm-20 — the
+    batch-axis probe (VERDICT r4 item 2).  Headline semantics unchanged:
+    the driver runs bench.py with no args.
+    """
     from ladi_vton_tpu.diffusion.schedulers import DDIMScheduler
     from ladi_vton_tpu.models.emasc import EMASC
     from ladi_vton_tpu.models.unet_condition import (
@@ -89,17 +96,20 @@ def main():
             lambda x: x.astype(jnp.bfloat16)
             if x.dtype == jnp.float32 else x, params)
 
+    def make_args(b):
+        return dict(
+            image=jnp.zeros((b, H, W, 3), dtype),
+            mask_image=jnp.ones((b, H, W, 1), dtype),
+            pose_map=jnp.zeros((b, H, W, 18), dtype),
+            warped_cloth=jnp.zeros((b, H, W, 3), dtype),
+            prompt_embeds=jnp.zeros((b, 77, ctx), dtype),
+            negative_prompt_embeds=jnp.zeros((b, 77, ctx), dtype),
+            rng=rng,
+        )
+
     sampler = pipe.jit_sample(split=True, num_inference_steps=steps,
                               guidance_scale=7.5)
-    args = dict(
-        image=jnp.zeros((B, H, W, 3), dtype),
-        mask_image=jnp.ones((B, H, W, 1), dtype),
-        pose_map=jnp.zeros((B, H, W, 18), dtype),
-        warped_cloth=jnp.zeros((B, H, W, 3), dtype),
-        prompt_embeds=jnp.zeros((B, 77, ctx), dtype),
-        negative_prompt_embeds=jnp.zeros((B, 77, ctx), dtype),
-        rng=rng,
-    )
+    args = make_args(B)
 
     import sys
 
@@ -130,6 +140,38 @@ def main():
             per_window.append(
                 (time.perf_counter() - t0) / iters_per_window)
         return float(np.median(per_window)), per_window
+
+    if batch_sweep:
+        # --batch sweep: per-B img/s for ddim-50 and dpm-20 (stderr gets
+        # the table; stdout one JSON line with the full sweep)
+        import dataclasses as dc
+
+        from ladi_vton_tpu.diffusion.schedulers import (
+            DPMSolverMultistepScheduler,
+        )
+
+        dpm_pipe = dc.replace(pipe, scheduler=DPMSolverMultistepScheduler())
+        dpm_sampler = dpm_pipe.jit_sample(split=True,
+                                          num_inference_steps=20,
+                                          guidance_scale=7.5)
+        sweep = {}
+        for b in batch_sweep:
+            row = {}
+            for tag, smplr in (("ddim50", sampler), ("dpm20", dpm_sampler)):
+                run_b = make_run(smplr, make_args(b))
+                dt, windows = timed_windows(run_b, n_windows=3,
+                                            iters_per_window=1)
+                spread = (max(windows) - min(windows)) / dt * 100
+                row[tag] = {"img_per_sec": round(b / dt, 4),
+                            "ms_per_batch": round(dt * 1e3, 1),
+                            "spread_pct": round(spread, 1)}
+                print(f"B={b} {tag}: {b/dt:.4f} img/s "
+                      f"({dt*1e3:.0f} ms/batch, spread {spread:.1f}%)",
+                      file=sys.stderr, flush=True)
+            sweep[str(b)] = row
+        print(json.dumps({"metric": "batch_sweep_512x384", "value": sweep,
+                          "unit": "images/sec"}))
+        return
 
     run = make_run(sampler, args)
     if on_tpu:
@@ -248,4 +290,11 @@ def _report_stages(pipe, params, args, B, total_dt):
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--batch", type=str, default=None,
+                    help="comma-separated batch sizes to sweep "
+                         "(e.g. 8,16,24,32) instead of the headline run")
+    cli = ap.parse_args()
+    main([int(b) for b in cli.batch.split(",")] if cli.batch else None)

@@ -148,12 +148,11 @@ def main(argv=None):
     from ladi_vton_tpu.parallel.sharding import eval_placement
 
     mesh = make_mesh(MeshSpec(model=args.tensor_parallel))
-    if args.tensor_parallel > 1:
-        # per-shard flash attention under TP (compile-time routing;
-        # parallel/tp.py tp_attention_mesh docstring)
-        from ladi_vton_tpu.ops import attention as _attention_ops
+    # per-shard flash attention under TP, scoped to this main and reset
+    # on the way out (advisor r4; parallel/tp.py tp_attention_scope)
+    from ladi_vton_tpu.parallel import tp_attention_scope
 
-        _attention_ops.TP_SHARD_MESH = mesh
+    tp_scope = tp_attention_scope(mesh, args.tensor_parallel)
     n_data = mesh.shape["data"]
     args.batch_size = -(-args.batch_size // n_data) * n_data
     put_repl, put_data = eval_placement(mesh)
@@ -247,6 +246,7 @@ def main(argv=None):
                 f"metrics_{args.test_order}_{args.category}.json"),
                 "w+") as f:
             json.dump(metrics, f, indent=4)
+    tp_scope.close()
 
 
 if __name__ == "__main__":

@@ -100,27 +100,30 @@ def main(argv=None):
                          scheduler=make_scheduler(args.scheduler))
     params = {"unet": unet_vars, "vae": vae_vars, "emasc": emasc_vars}
 
-    if args.tensor_parallel > 1:
-        # TP placement drives the sharding: the jitted sampler programs
-        # see committed model-sharded UNet params and GSPMD inserts the
-        # per-block all-reduces (parallel/tp.py; eval_placement docs)
-        from ladi_vton_tpu.core.mesh import MeshSpec, make_mesh
-        from ladi_vton_tpu.parallel.sharding import eval_placement
+    # placement drives the sharding (eval_placement docs): weights
+    # replicated (or Megatron-sharded over ``model`` under TP), request
+    # batches sharded over whatever ``data`` axis remains — the leftover
+    # devices split the work instead of computing replicated copies
+    # (advisor r4; mirrors inference/eval)
+    from ladi_vton_tpu.core.mesh import MeshSpec, make_mesh
+    from ladi_vton_tpu.parallel import tp_attention_scope
+    from ladi_vton_tpu.parallel.sharding import eval_placement
 
-        mesh = make_mesh(MeshSpec(model=args.tensor_parallel))
-        put_repl, _ = eval_placement(mesh)
-        params = put_repl(params)
-        # per-shard flash attention under TP (compile-time routing;
-        # parallel/tp.py tp_attention_mesh docstring)
-        from ladi_vton_tpu.ops import attention as _attention_ops
-
-        _attention_ops.TP_SHARD_MESH = mesh
+    mesh = make_mesh(MeshSpec(model=args.tensor_parallel))
+    put_repl, _ = eval_placement(mesh)
+    params = put_repl(params)
+    n_data = mesh.shape["data"]
+    args.batch_size = -(-args.batch_size // n_data) * n_data
+    # per-shard flash attention under TP, scoped to this main and reset
+    # on shutdown (advisor r4; parallel/tp.py tp_attention_scope)
+    tp_scope = tp_attention_scope(mesh, args.tensor_parallel)
 
     service = TryOnService(
         pipe, params, batch_size=args.batch_size, height=args.height,
         width=args.width, num_inference_steps=args.num_inference_steps,
         guidance_scale=args.guidance_scale,
-        context_dim=unet.config.cross_attention_dim, seed=args.seed)
+        context_dim=unet.config.cross_attention_dim, seed=args.seed,
+        mesh=mesh)
     if not args.no_warmup:
         print("warming up (compiling the sampler)...", flush=True)
         service.warmup()
@@ -172,6 +175,7 @@ def main(argv=None):
     finally:
         server.shutdown()
         batcher.close()
+        tp_scope.close()
 
 
 if __name__ == "__main__":

@@ -61,6 +61,10 @@ def parse_args(argv=None):
     p.add_argument("--vgg_weights", type=str, default=None,
                    help="torchvision vgg19 .pth for the perceptual loss")
     p.add_argument("--caption_file", type=str, default=None)
+    p.add_argument("--height", type=int, default=512,
+                   help="training resolution (the reference hard-codes "
+                        "512x384; smaller sizes drive smoke runs)")
+    p.add_argument("--width", type=int, default=384)
     return p.parse_args(argv)
 
 
@@ -80,7 +84,7 @@ def main(argv=None):
     from ladi_vton_tpu.data.loader import BatchLoader
     from ladi_vton_tpu.hub import convert as C
     from ladi_vton_tpu.hub import zoo
-    from ladi_vton_tpu.models.emasc import EMASC
+    from ladi_vton_tpu.models.emasc import EMASC, emasc_channels
     from ladi_vton_tpu.models.vgg import VGG19Features
     from ladi_vton_tpu.train.runner import (
         LoopConfig,
@@ -106,7 +110,11 @@ def main(argv=None):
             "this port derives EMASC padding as kernel//2 (shape-"
             f"preserving); got kernel={args.emasc_kernel} "
             f"padding={args.emasc_padding}")
-    emasc = EMASC(kind=args.emasc_type, kernel_size=args.emasc_kernel,
+    # channel plan derived from the loaded VAE (reproduces the
+    # reference's hard-coded plan for the SD-2 VAE; models/emasc.py)
+    emasc_in, emasc_out = emasc_channels(vae.config)
+    emasc = EMASC(in_channels=emasc_in, out_channels=emasc_out,
+                  kind=args.emasc_type, kernel_size=args.emasc_kernel,
                   dtype=dtype)
     emasc_vars = emasc.init(jax.random.key(args.seed), [
         jnp.zeros((1, 8, 8, c), dtype) for c in emasc.in_channels])
@@ -122,7 +130,8 @@ def main(argv=None):
                                                          dtype))
 
     outputlist = ("image", "im_mask", "inpaint_mask", "im_name", "category")
-    train_dataset = build_dataset(args, "train", "paired", outputlist)
+    train_dataset = build_dataset(args, "train", "paired", outputlist,
+                                  size=(args.height, args.width))
     loader = BatchLoader(train_dataset, args.train_batch_size, shuffle=True,
                          num_workers=args.num_workers, drop_last=True,
                          seed=args.seed)
@@ -157,6 +166,7 @@ def main(argv=None):
                 state = ckpt.restore_replacing(
                     state, args.resume_from_checkpoint)
                 start_step = int(state.step)
+                logger.info(f"resumed from step {start_step}")
             except FileNotFoundError:
                 logger.info("no checkpoint found; starting fresh")
 
@@ -168,10 +178,18 @@ def main(argv=None):
                     "inpaint_mask": batch["inpaint_mask"]}
 
         def on_checkpoint(step, state):
+            import json as _json
+
+            from ladi_vton_tpu.core.checkpoint import emasc_torch_key_map
+
+            pth = Path(args.output_dir) / f"emasc_{step}.pth"
             export_torch_state(
                 {"params": jax.device_get(
                     state.params["emasc"])["params"]},
-                Path(args.output_dir) / f"emasc_{step}.pth")
+                pth, key_map=emasc_torch_key_map)
+            pth.with_suffix(".config.json").write_text(_json.dumps({
+                "in_channels": list(emasc.in_channels),
+                "out_channels": list(emasc.out_channels)}))
             # VAE+EMASC reconstruction dumps + metric eval at checkpoint
             # boundaries (reference train_emasc.py:430-473).  Only
             # expected missing artifacts are tolerated; real validation
@@ -187,7 +205,7 @@ def main(argv=None):
             test_dataset = build_dataset(
                 args, "test", args.test_order,
                 ("image", "im_mask", "inpaint_mask", "im_name",
-                 "category"))
+                 "category"), size=(args.height, args.width))
             test_loader = BatchLoader(test_dataset, args.test_batch_size,
                                       num_workers=args.num_workers_test,
                                       pad_last=True)

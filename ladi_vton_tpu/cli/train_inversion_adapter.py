@@ -66,6 +66,10 @@ def parse_args(argv=None):
     p.add_argument("--clip_vision_dir", type=str, required=False)
     p.add_argument("--tokenizer_dir", type=str, default=None)
     p.add_argument("--caption_file", type=str, default=None)
+    p.add_argument("--height", type=int, default=512,
+                   help="training resolution (the reference hard-codes "
+                        "512x384; smaller sizes drive smoke runs)")
+    p.add_argument("--width", type=int, default=384)
     return p.parse_args(argv)
 
 
@@ -86,14 +90,9 @@ def main(argv=None):
     from ladi_vton_tpu.data.labels import CATEGORY_PROMPT_TEXT
     from ladi_vton_tpu.data.loader import BatchLoader
     from ladi_vton_tpu.diffusion.schedulers import DDPMScheduler
-    from ladi_vton_tpu.hub import convert as C
     from ladi_vton_tpu.hub import zoo
-    from ladi_vton_tpu.models.clip import vit_h_vision_config
     from ladi_vton_tpu.models.inversion_adapter import InversionAdapter
-    from ladi_vton_tpu.models.unet_condition import (
-        UNet2DCondition,
-        sd2_unet_config,
-    )
+    from ladi_vton_tpu.models.unet_condition import UNet2DCondition
     from ladi_vton_tpu.ops.resize import resize_bilinear
     from ladi_vton_tpu.train.runner import (
         LoopConfig,
@@ -122,23 +121,28 @@ def main(argv=None):
     # --gradient_checkpointing — reference
     # train_inversion_adapter.py:262-264; the UNet dominates the
     # activation footprint, the text encoder's share is negligible)
+    unet9_cfg, unet9_vars = zoo.sd2_unet(args.sd2_model_dir, in_channels=9)
     if args.gradient_checkpointing:
         from flax import linen as nn
 
-        unet9 = nn.remat(UNet2DCondition)(sd2_unet_config(9), dtype=dtype)
+        unet9 = nn.remat(UNet2DCondition)(unet9_cfg, dtype=dtype)
     else:
-        unet9 = UNet2DCondition(sd2_unet_config(9), dtype=dtype)
-    unet9_vars = zoo._to_jax(C.convert_unet(
-        zoo._load_model_dir_state(args.sd2_model_dir, "unet")))
+        unet9 = UNet2DCondition(unet9_cfg, dtype=dtype)
 
+    # adapter dims derived from the loaded towers (ViT-H/14 + SD-2 text
+    # for real weights, reference train_inversion_adapter.py:246-256)
+    vision_cfg = zoo.clip_vision_config(args.clip_vision_dir)
     adapter = InversionAdapter(
-        input_dim=1280, hidden_dim=1280 * 4,
-        output_dim=1024 * args.num_vstar,
+        input_dim=vision_cfg.hidden_size,
+        hidden_dim=vision_cfg.hidden_size * 4,
+        output_dim=text_model.config.hidden_size * args.num_vstar,
         num_encoder_layers=args.num_encoder_layers,
         dropout=args.adapter_dropout,
-        vision_config=vit_h_vision_config(), dtype=dtype)
-    adapter_vars = adapter.init(jax.random.key(args.seed),
-                                jnp.zeros((1, 257, 1280), dtype))
+        vision_config=vision_cfg, dtype=dtype)
+    n_tokens = (vision_cfg.image_size // vision_cfg.patch_size) ** 2 + 1
+    adapter_vars = adapter.init(
+        jax.random.key(args.seed),
+        jnp.zeros((1, n_tokens, vision_cfg.hidden_size), dtype))
 
     vision = vision_vars = None
     if not args.use_clip_cloth_features:
@@ -150,7 +154,8 @@ def main(argv=None):
     if args.use_clip_cloth_features:
         outputlist.append("clip_cloth_features")
     train_dataset = build_dataset(args, "train", "paired",
-                                  tuple(outputlist))
+                                  tuple(outputlist),
+                                  size=(args.height, args.width))
     loader = BatchLoader(train_dataset, args.train_batch_size, shuffle=True,
                          num_workers=args.num_workers, drop_last=True,
                          seed=args.seed)
@@ -199,6 +204,7 @@ def main(argv=None):
                 state = ckpt.restore_replacing(
                     state, args.resume_from_checkpoint)
                 start_step = int(state.step)
+                logger.info(f"resumed from step {start_step}")
             except FileNotFoundError:
                 logger.info("no checkpoint found; starting fresh")
 
@@ -224,10 +230,24 @@ def main(argv=None):
             }
 
         def on_checkpoint(step, state):
+            import dataclasses as _dc
+            import json as _json
+
+            from ladi_vton_tpu.core.checkpoint import (
+                inversion_adapter_torch_key_map,
+            )
+
+            pth = Path(args.output_dir) / f"inversion_adapter_{step}.pth"
             export_torch_state(
                 {"params": jax.device_get(
                     state.params["adapter"])["params"]},
-                Path(args.output_dir) / f"inversion_adapter_{step}.pth")
+                pth, key_map=inversion_adapter_torch_key_map)
+            pth.with_suffix(".config.json").write_text(_json.dumps({
+                "input_dim": adapter.input_dim,
+                "hidden_dim": adapter.hidden_dim,
+                "output_dim": adapter.output_dim,
+                "num_encoder_layers": adapter.num_encoder_layers,
+                "vision_config": _dc.asdict(adapter.vision_config)}))
             # adapter validation through the PLAIN SD inpaint pipeline +
             # metrics (reference train_inversion_adapter.py:546-572,
             # image_from_pipe.py:139-218).  Only expected missing
@@ -244,7 +264,8 @@ def main(argv=None):
             )
 
             test_dataset = build_dataset(args, "test", args.test_order,
-                                         tuple(outputlist))
+                                         tuple(outputlist),
+                                         size=(args.height, args.width))
             test_loader = BatchLoader(test_dataset, args.test_batch_size,
                                       num_workers=args.num_workers_test,
                                       pad_last=True)

@@ -91,6 +91,10 @@ def parse_args(argv=None):
                         "over a 'model' mesh axis of this size "
                         "(parallel/tp.py); mutually exclusive with "
                         "--shard_optimizer_states")
+    p.add_argument("--height", type=int, default=512,
+                   help="training resolution (the reference hard-codes "
+                        "512x384; smaller sizes drive smoke runs)")
+    p.add_argument("--width", type=int, default=384)
     return p.parse_args(argv)
 
 
@@ -125,14 +129,9 @@ def main(argv=None):
     from ladi_vton_tpu.data.labels import CATEGORY_PROMPT_TEXT
     from ladi_vton_tpu.data.loader import BatchLoader
     from ladi_vton_tpu.diffusion.schedulers import DDPMScheduler
-    from ladi_vton_tpu.hub import convert as C
     from ladi_vton_tpu.hub import zoo
     from ladi_vton_tpu.models.inversion_adapter import InversionAdapter
-    from ladi_vton_tpu.models.clip import vit_h_vision_config
-    from ladi_vton_tpu.models.unet_condition import (
-        UNet2DCondition,
-        sd2_unet_config,
-    )
+    from ladi_vton_tpu.models.unet_condition import UNet2DCondition
     from ladi_vton_tpu.train.runner import (
         LoopConfig,
         Trackers,
@@ -161,41 +160,50 @@ def main(argv=None):
 
     # trainable UNet: SD-2-inpainting weights + conv_in surgery
     in_ch = 31 if args.cloth_input_type == "warped" else 27
+    unet_cfg, unet_vars = zoo.sd2_unet(args.sd2_model_dir,
+                                       in_channels=in_ch)
     if args.gradient_checkpointing:
         from flax import linen as nn
 
         # rematerialized UNet (jax.checkpoint via flax lifted transform),
         # the TPU equivalent of unet.enable_gradient_checkpointing()
         # (reference train_vto.py:290-294)
-        unet = nn.remat(UNet2DCondition)(sd2_unet_config(in_ch),
-                                         dtype=dtype)
+        unet = nn.remat(UNet2DCondition)(unet_cfg, dtype=dtype)
     else:
-        unet = UNet2DCondition(sd2_unet_config(in_ch), dtype=dtype)
-    unet_vars = C.convert_unet(
-        zoo._load_model_dir_state(args.sd2_model_dir, "unet"))
-    unet_vars = C.widen_conv_in(unet_vars, in_ch)
-    unet_vars = zoo._to_jax(unet_vars)
+        unet = UNet2DCondition(unet_cfg, dtype=dtype)
 
     adapter = None
     adapter_vars = None
     vision = vision_vars = None
     if args.text_usage == "inversion_adapter":
-        adapter = InversionAdapter(
-            input_dim=1280, hidden_dim=1280 * 4,
-            output_dim=1024 * args.num_vstar,
-            num_encoder_layers=args.num_encoder_layers,
-            vision_config=vit_h_vision_config(), dtype=dtype)
+        # adapter dims are functions of the loaded towers (ViT-H/14 +
+        # SD-2 text encoder for real weights, reference
+        # train_vto.py:246-252) — derived, not hard-coded, so tiny
+        # towers drive the same code path
+        vision_cfg = zoo.clip_vision_config(args.clip_vision_dir)
         if args.inversion_adapter_dir:
-            _, adapter_vars = zoo.inversion_adapter(
+            # the checkpoint (and its sidecar) own the architecture —
+            # keep the module the zoo built for those variables
+            adapter, adapter_vars = zoo.inversion_adapter(
                 args.dataset,
                 checkpoint=str(Path(args.inversion_adapter_dir)
                                / (args.inversion_adapter_name
                                   if args.inversion_adapter_name != "latest"
                                   else f"inversion_adapter_{args.dataset}.pth")),
-                dtype=dtype)
+                dtype=dtype, num_vstar=args.num_vstar,
+                num_encoder_layers=args.num_encoder_layers)
         else:
+            adapter = InversionAdapter(
+                input_dim=vision_cfg.hidden_size,
+                hidden_dim=vision_cfg.hidden_size * 4,
+                output_dim=text_model.config.hidden_size * args.num_vstar,
+                num_encoder_layers=args.num_encoder_layers,
+                vision_config=vision_cfg, dtype=dtype)
+            n_tokens = (vision_cfg.image_size
+                        // vision_cfg.patch_size) ** 2 + 1
             adapter_vars = adapter.init(
-                jax.random.key(0), jnp.zeros((1, 257, 1280), dtype))
+                jax.random.key(0),
+                jnp.zeros((1, n_tokens, vision_cfg.hidden_size), dtype))
         if not args.use_clip_cloth_features:
             vision, vision_vars = zoo.clip_vit_h_vision(
                 args.clip_vision_dir, dtype=dtype)
@@ -209,7 +217,8 @@ def main(argv=None):
         outputlist.append("captions")
     if args.use_clip_cloth_features:
         outputlist.append("clip_cloth_features")
-    train_dataset = build_dataset(args, "train", "paired", tuple(outputlist))
+    train_dataset = build_dataset(args, "train", "paired", tuple(outputlist),
+                                  size=(args.height, args.width))
     loader = BatchLoader(train_dataset, args.train_batch_size,
                          shuffle=True, num_workers=args.num_workers,
                          drop_last=True, seed=args.seed)
@@ -256,15 +265,17 @@ def main(argv=None):
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         repl = NamedSharding(mesh, P())
+        from ladi_vton_tpu.parallel.tp import tp_attention_scope
+
+        # per-shard flash attention under TP, scoped to this main and
+        # reset on the way out (advisor r4)
+        tp_scope = tp_attention_scope(mesh, args.tensor_parallel)
         if args.tensor_parallel > 1:
-            from ladi_vton_tpu.ops import attention as _attention_ops
             from ladi_vton_tpu.parallel.tp import (
                 tp_jit_step,
                 tp_train_state,
             )
 
-            # per-shard flash attention under TP (compile-time routing)
-            _attention_ops.TP_SHARD_MESH = mesh
             jitted, shard_batch = tp_jit_step(step_fn, mesh)
             state = tp_train_state(state, mesh)
         else:
@@ -329,10 +340,16 @@ def main(argv=None):
 
             @jax.jit
             def _vision_apply(vv, cloth):
+                from ladi_vton_tpu.parallel.tp import tp_attention_mesh
+
                 x = jnp.clip(resize_bilinear(
                     (jnp.asarray(cloth) + 1.0) * 0.5, (224, 224)), 0, 1)
                 x = ((x - clip_mean) / clip_std).astype(dtype)
-                return vision.apply(vv, x)
+                # the replicated vision tower must NOT reroute through
+                # the TP shard_map path (advisor r4): the knob is read
+                # at trace time, so mask it for this trace
+                with tp_attention_mesh(None):
+                    return vision.apply(vv, x)
 
         def _vision_features(cloth):
             return _vision_apply(vision_vars, jnp.asarray(cloth))
@@ -349,16 +366,37 @@ def main(argv=None):
             ]
 
         def on_checkpoint(step, state):
-            # raw .pth export for deployment (reference :711-720)
+            # raw .pth export for deployment (reference :711-720) in the
+            # diffusers key layout hub.convert reads back, plus an
+            # architecture sidecar so cli.eval/zoo rebuild non-default
+            # (e.g. tiny) towers — the train->export->eval circle
+            import dataclasses as _dc
+            import json as _json
+
+            from ladi_vton_tpu.core.checkpoint import (
+                inversion_adapter_torch_key_map,
+                unet_torch_key_map,
+            )
+
+            pth = Path(args.output_dir) / f"unet_{step}.pth"
             export_torch_state(
                 {"params": jax.device_get(state.params["unet"])["params"]},
-                Path(args.output_dir) / f"unet_{step}.pth")
+                pth, key_map=unet_torch_key_map)
+            pth.with_suffix(".config.json").write_text(_json.dumps({
+                k: (list(v) if isinstance(v, tuple) else v)
+                for k, v in _dc.asdict(unet_cfg).items()}))
             if args.train_inversion_adapter:
+                pth = Path(args.output_dir) / f"inversion_adapter_{step}.pth"
                 export_torch_state(
                     {"params": jax.device_get(
                         state.params["adapter"])["params"]},
-                    Path(args.output_dir)
-                    / f"inversion_adapter_{step}.pth")
+                    pth, key_map=inversion_adapter_torch_key_map)
+                pth.with_suffix(".config.json").write_text(_json.dumps({
+                    "input_dim": adapter.input_dim,
+                    "hidden_dim": adapter.hidden_dim,
+                    "output_dim": adapter.output_dim,
+                    "num_encoder_layers": adapter.num_encoder_layers,
+                    "vision_config": _dc.asdict(adapter.vision_config)}))
             # validation images + metrics through the try-on pipeline
             # (reference :661-699); best-effort — training never dies on
             # a validation failure (reference wraps in try/except too)
@@ -377,7 +415,8 @@ def main(argv=None):
             outputlist_v = [o for o in outputlist if o != "captions"] + (
                 ["captions"] if args.text_usage == "noun_chunks" else [])
             test_dataset = build_dataset(args, "test", args.test_order,
-                                         tuple(outputlist_v))
+                                         tuple(outputlist_v),
+                                         size=(args.height, args.width))
             test_loader = BatchLoader(test_dataset, args.test_batch_size,
                                       num_workers=args.num_workers_test,
                                       pad_last=True)
@@ -422,6 +461,7 @@ def main(argv=None):
             on_checkpoint=on_checkpoint,
             batch_to_arrays=batch_to_arrays)
         trackers.finish()
+        tp_scope.close()
         logger.info(f"done at step {final_step}")
 
 

@@ -68,11 +68,15 @@ class CheckpointManager:
         dirs = self._step_dirs()
         return dirs[-1][0] if dirs else None
 
-    def _gc(self, reserve: int = 0):
-        """keep-last-N GC (reference train_vto.py:701-709).  ``reserve``
-        counts an about-to-be-written checkpoint against the budget."""
+    def _gc(self):
+        """keep-last-N GC (reference train_vto.py:701-709).  Runs only
+        on process 0: under multi-process training every rank calls
+        ``save`` (orbax writes are collective) but a concurrent rmtree
+        from several ranks could tear a directory orbax is finalizing."""
+        if jax.process_index() != 0:
+            return
         dirs = self._step_dirs()
-        for _, old in dirs[: max(0, len(dirs) + reserve - self.keep)]:
+        for _, old in dirs[: max(0, len(dirs) - self.keep)]:
             import shutil
 
             try:
@@ -85,11 +89,13 @@ class CheckpointManager:
         if self.async_save:
             import orbax.checkpoint as ocp
 
-            # serialize with the previous in-flight write, GC while the
-            # new one is BACKGROUND (completed dirs only — the tmp dir
-            # of the pending write is invisible to _step_dirs)
+            # serialize with the previous in-flight write; GC only dirs
+            # that are already durable (never counting the about-to-be
+            # written one): a crash mid-write must still leave ``keep``
+            # completed checkpoints on disk (advisor r4).  The one-extra
+            # dir this retains is collected by the next save/wait.
             self._ckptr.wait_until_finished()
-            self._gc(reserve=1)
+            self._gc()
             self._ckptr.save(path, args=ocp.args.StandardSave(state))
             return
         self._ckptr.save(path, state)
@@ -97,8 +103,11 @@ class CheckpointManager:
         self._gc()
 
     def wait(self):
-        """Block until any in-flight async save is durably on disk."""
+        """Block until any in-flight async save is durably on disk,
+        then apply the deferred keep-N GC."""
         self._ckptr.wait_until_finished()
+        if self.async_save:
+            self._gc()
 
     def restore(self, state_like: Any, step: int | str = "latest") -> Any:
         self._ckptr.wait_until_finished()

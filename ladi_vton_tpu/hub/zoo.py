@@ -324,6 +324,30 @@ def sd2_vae(model_dir: str, *, param_dtype=jnp.float32,
     return vae, _to_jax(variables, param_dtype)
 
 
+def sd2_unet(model_dir: str, *, in_channels: int = 9,
+             param_dtype=jnp.float32):
+    """Stock SD-2-inpainting UNet weights from the model dir, with
+    optional conv_in widening surgery to ``in_channels`` (reference
+    src/train_vto.py:259-277).  Returns ``(config, variables)`` — the
+    trainer CLIs build the module themselves (remat control).
+    Architecture from the dir's diffusers ``config.json`` when present,
+    SD-2 defaults otherwise."""
+    import dataclasses
+
+    from ladi_vton_tpu.models.unet_condition import UNetConfig
+
+    raw = _dir_config(model_dir, "unet")
+    base = (UNetConfig(**_config_kwargs(UNetConfig, raw)) if raw
+            else sd2_unet_config(9))
+    cfg = dataclasses.replace(base, in_channels=in_channels)
+    variables = _cached_convert(
+        _find_model_file(model_dir, "unet"), f"sd2_unet{in_channels}",
+        lambda: C.widen_conv_in(
+            C.convert_unet(_load_model_dir_state(model_dir, "unet")),
+            in_channels))
+    return cfg, _to_jax(variables, param_dtype)
+
+
 def sd2_text_encoder(model_dir: str, *, param_dtype=jnp.float32,
                      dtype=jnp.bfloat16):
     from ladi_vton_tpu.models.clip import CLIPTextConfig
@@ -337,6 +361,23 @@ def sd2_text_encoder(model_dir: str, *, param_dtype=jnp.float32,
         lambda: C.convert_clip_text(
             _load_model_dir_state(model_dir, "text_encoder")))
     return model, _to_jax(variables, param_dtype)
+
+
+def clip_vision_config(model_dir: Optional[str]):
+    """Vision-tower architecture WITHOUT loading weights.
+
+    The inversion adapter's encoder layer + projection dims are functions
+    of the vision tower (reference hubconf.py:16-27 hard-codes ViT-H/14);
+    trainer CLIs call this so tiny/custom towers drive the same code path
+    (``--use_clip_cloth_features`` loads no weights but still needs dims).
+    """
+    from ladi_vton_tpu.models.clip import CLIPVisionConfig
+
+    raw = _dir_config(model_dir, "") if model_dir else None
+    if raw is not None:
+        raw = raw.get("vision_config", raw)
+        return CLIPVisionConfig(**_config_kwargs(CLIPVisionConfig, raw))
+    return vit_h_vision_config()
 
 
 def clip_vit_h_vision(model_dir: str, *, param_dtype=jnp.float32,

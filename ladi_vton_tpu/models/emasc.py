@@ -23,6 +23,20 @@ from flax import linen as nn
 from ladi_vton_tpu.ops.resize import resize_bilinear
 
 
+def emasc_channels(vae_config) -> tuple[tuple[int, ...], tuple[int, ...]]:
+    """(in_channels, out_channels) plan for a given VAE architecture.
+
+    The five encoder taps are conv_in's output plus each down block's
+    INPUT channel count (b0, b0, b0, b1, b2 for blocks b0..b3); the
+    decoder injection points take (b0, b1, b2, b3, b3).  For the SD-2
+    default VAE this reproduces the reference's hard-coded plan
+    (reference hubconf.py:41-42, src/train_emasc.py:215-216); trainer
+    CLIs derive it so tiny/custom VAEs drive the same path.
+    """
+    b = tuple(vae_config.block_out_channels)
+    return (b[0], b[0], b[0], b[1], b[2]), (b[0], b[1], b[2], b[3], b[3])
+
+
 class EMASC(nn.Module):
     in_channels: Sequence[int] = (128, 128, 128, 256, 512)
     out_channels: Sequence[int] = (128, 256, 512, 512, 512)

@@ -7,6 +7,7 @@ from ladi_vton_tpu.parallel.sharding import (
 from ladi_vton_tpu.parallel.tp import (
     tensor_parallel_sampler,
     tp_attention_mesh,
+    tp_attention_scope,
     tp_jit_step,
     tp_place,
     tp_shardings,

@@ -86,6 +86,22 @@ def tp_attention_mesh(mesh: Mesh):
         attention.TP_SHARD_MESH = prev
 
 
+def tp_attention_scope(mesh: Mesh, tensor_parallel: int):
+    """Entered ``ExitStack`` routing flash attention per-shard while it
+    is open — a no-op stack when ``tensor_parallel <= 1``.
+
+    CLI mains hold one of these for their tracing extent and ``close()``
+    it on the way out: an in-process ``main()`` drive (tests, notebooks)
+    must not leak the process-global routing knob into later work
+    (advisor r4 — the knob previously was assigned directly and never
+    reset).
+    """
+    stack = contextlib.ExitStack()
+    if tensor_parallel > 1:
+        stack.enter_context(tp_attention_mesh(mesh))
+    return stack
+
+
 def _tp_leaf_spec(path_keys: tuple[str, ...]) -> P:
     """PartitionSpec for one UNet param leaf, by its flax path."""
     leaf = path_keys[-1]

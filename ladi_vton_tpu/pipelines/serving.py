@@ -34,6 +34,7 @@ class TryOnService:
         guidance_scale: float = 7.5,
         context_dim: int = 1024,
         seed: int = 0,
+        mesh=None,
     ):
         self.pipe = pipe
         self.params = params
@@ -44,6 +45,20 @@ class TryOnService:
         self._rng = jax.random.key(seed)
         self._count = 0
         self._lock = threading.Lock()
+        # with a mesh, padded request batches shard over its ``data``
+        # axis so non-model-axis devices split the work instead of
+        # computing replicated copies (advisor r4; matches
+        # inference/eval's eval_placement batch sharding)
+        self._data_sharding = None
+        if mesh is not None and dict(mesh.shape).get("data", 1) > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_data = dict(mesh.shape)["data"]
+            if batch_size % n_data:
+                raise ValueError(
+                    f"serving batch_size {batch_size} must be a "
+                    f"multiple of the data-axis size {n_data}")
+            self._data_sharding = NamedSharding(mesh, P("data"))
         self._sampler = pipe.jit_sample(
             split=True, num_inference_steps=num_inference_steps,
             guidance_scale=guidance_scale)
@@ -74,6 +89,8 @@ class TryOnService:
             raise ValueError(
                 f"request batch {n} exceeds compiled batch "
                 f"{self.batch_size}; split the request")
+        if self._data_sharding is not None:
+            return jax.device_put(np.asarray(x), self._data_sharding)
         return jnp.asarray(x)
 
     def generate(self, *, image, inpaint_mask, pose_map, warped_cloth,

@@ -172,7 +172,11 @@ def train_loop(
                 logger.info(f"saved checkpoint-{step}")
                 if on_checkpoint:
                     on_checkpoint(step, state)
-    ckpt_manager.save(step, state)
+    if step > start_step and step % loop.checkpointing_steps != 0:
+        # final save — unless the last step already checkpointed at a
+        # boundary (orbax dirs are atomic and never overwritten), or
+        # nothing trained (resume at max_train_steps)
+        ckpt_manager.save(step, state)
     if hasattr(ckpt_manager, "wait"):
         # async_save managers: the final checkpoint must be durable
         # before the process exits

@@ -315,6 +315,176 @@ def test_vto_train_step_2d_matches_single_device(tmp_path):
     assert np.isfinite(float(m3["loss"]))
 
 
+def _vto_step_fixture():
+    """Shared tiny towers + batch for the 2D train-step tests."""
+    from ladi_vton_tpu.diffusion.schedulers import DDPMScheduler
+    from ladi_vton_tpu.models.clip import CLIPTextConfig, CLIPTextModel
+    from ladi_vton_tpu.models.vae import AutoencoderKL, VAEConfig
+    from ladi_vton_tpu.train.steps import VTOStepConfig, make_vto_train_step
+
+    unet, unet_params = _tiny_unet_and_params(jax.random.key(0))
+    vae = AutoencoderKL(VAEConfig(block_out_channels=(32, 32, 64, 64)))
+    text_cfg = CLIPTextConfig(vocab_size=300, hidden_size=64,
+                              num_hidden_layers=1, num_attention_heads=4,
+                              intermediate_size=64,
+                              max_position_embeddings=16)
+    text_model = CLIPTextModel(text_cfg)
+    B = 8
+    batch = {
+        "image": jax.random.normal(jax.random.key(6), (B, H, W, 3)) * 0.1,
+        "im_mask": jnp.zeros((B, H, W, 3)),
+        "inpaint_mask": jnp.ones((B, H, W, 1)),
+        "pose_map": jnp.zeros((B, H, W, 18)),
+        "warped_cloth": jnp.zeros((B, H, W, 3)),
+        "input_ids": jnp.zeros((B, 16), jnp.int32),
+    }
+    rng = jax.random.key(5)
+    frozen = {"vae": vae.init(rng, batch["image"][:1]),
+              "text": text_model.init(rng, batch["input_ids"][:1])}
+
+    def make_step(accum=1):
+        return make_vto_train_step(
+            unet=unet, vae=vae, text_model=text_model,
+            noise_scheduler=DDPMScheduler(),
+            config=VTOStepConfig(text_usage="none", uncond_fraction=0.0,
+                                 gradient_accumulation_steps=accum),
+            empty_prompt_ids=jnp.zeros((16,), jnp.int32))
+
+    return unet_params, frozen, batch, make_step
+
+
+@pytest.mark.slow
+def test_vto_adam_trajectory_2d_matches_single_device():
+    """10-step ADAM trajectory, 2D DP(2)xTP(4) vs single device
+    (VERDICT r4 item 6a — replaces the r4 docstring's untested
+    'sign-amplified noise' dismissal with a measurement).
+
+    Tolerance derivation (fp32 on CPU): sharded matmuls re-associate
+    reductions, giving relative gradient noise ~1e-6; Adam normalizes
+    by sqrt(nu), so a param whose TRUE gradient is near zero can take a
+    ~±lr sign-flipped update — per-step worst-case divergence 2*lr per
+    such param, i.e. ±2e-2 over 10 steps at lr=1e-3.  The aggregate
+    LOSS is insensitive to those dead-param wiggles, so the contract
+    is: per-step losses match to 1%, final params within atol=20*lr."""
+    from ladi_vton_tpu.train.steps import TrainState, make_optimizer
+
+    mesh = _need_mesh(data=2, model=4)
+    unet_params, frozen, batch, make_step = _vto_step_fixture()
+    step = make_step()
+    lr = 1e-3
+
+    def run(tp):
+        params = jax.tree_util.tree_map(jnp.array, {"unet": unet_params})
+        state = TrainState.create(params, make_optimizer(lr))
+        losses = []
+        if tp:
+            state = tp_train_state(state, mesh)
+            jitted, shard_batch = tp_jit_step(step, mesh)
+            fr = jax.device_put(frozen,
+                                jax.sharding.NamedSharding(mesh, P()))
+        else:
+            jitted, shard_batch = jax.jit(step), lambda b: b
+            fr = frozen
+        for i in range(10):
+            state, m = jitted(state, fr, shard_batch(batch),
+                              jax.random.fold_in(jax.random.key(9), i))
+            losses.append(float(m["loss"]))
+        return state, losses
+
+    s_ref, losses_ref = run(tp=False)
+    s_tp, losses_tp = run(tp=True)
+    np.testing.assert_allclose(losses_tp, losses_ref, rtol=1e-2,
+                               err_msg="Adam loss curves diverged")
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(s_ref.params)[0],
+            jax.tree_util.tree_flatten_with_path(s_tp.params)[0]):
+        assert pa == pb
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-2, atol=20 * lr,
+                                   err_msg=str(pa))
+    # the Adam moments stayed model-sharded across all 10 steps
+    mu_sharded = [
+        l for l in jax.tree_util.tree_leaves(s_tp.opt_state)
+        if "model" in str(getattr(l.sharding, "spec", ""))
+    ]
+    assert mu_sharded, "Adam moments lost their model sharding"
+
+
+@pytest.mark.slow
+def test_tp_grad_accumulation_equivalence():
+    """TP x gradient accumulation (VERDICT r4 item 6b): the A=2
+    accumulated step ON THE 2D MESH equals the average of the two
+    per-microbatch single-device SGD updates with the same
+    per-microbatch rngs (the exact contract of the single-device test,
+    tests/test_models.py:212) — exact math, TP re-association
+    tolerance."""
+    import optax
+
+    from ladi_vton_tpu.train.steps import TrainState
+
+    mesh = _need_mesh(data=2, model=4)
+    unet_params, frozen, batch, make_step = _vto_step_fixture()
+    rng = jax.random.key(11)
+
+    def fresh():
+        params = jax.tree_util.tree_map(jnp.array, {"unet": unet_params})
+        return TrainState.create(params, optax.sgd(1e-3))
+
+    # 2D TP accumulated step (microbatch i gets split(rng, 2)[i])
+    state = tp_train_state(fresh(), mesh)
+    jitted, shard_batch = tp_jit_step(make_step(2), mesh)
+    fr = jax.device_put(frozen, jax.sharding.NamedSharding(mesh, P()))
+    s_tp, m_tp = jitted(state, fr, shard_batch(batch), rng)
+
+    # single-device reference: average of per-microbatch SGD updates
+    B = batch["image"].shape[0]
+    step1 = jax.jit(make_step(1))
+    rngs = jax.random.split(rng, 2)
+    halves = []
+    for i in range(2):
+        mb = jax.tree_util.tree_map(
+            lambda x: x[i * B // 2:(i + 1) * B // 2], batch)
+        s_i, _ = step1(fresh(), frozen, mb, rngs[i])
+        halves.append(s_i.params)
+    avg = jax.tree_util.tree_map(lambda a, b: (a + b) / 2, *halves)
+
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(avg)[0],
+            jax.tree_util.tree_flatten_with_path(s_tp.params)[0]):
+        assert pa == pb
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6, err_msg=str(pa))
+    qk = s_tp.params["unet"]["params"]["down_blocks_0"]["attentions_0"][
+        "transformer_blocks_0"]["attn1"]["to_q"]["kernel"]
+    assert "model" in str(qk.sharding.spec)  # shardings survive accum
+
+
+@pytest.mark.slow
+def test_tp_unet_forward_gspmd_fallback_parity():
+    """UNet forward where the level-0 head count (4) does NOT divide the
+    model axis (8) — the SD-2 level-0 5-head situation (VERDICT r4 item
+    6c).  The attention dispatch falls back to global GSPMD at level 0
+    while deeper levels (8 heads) take the shard_map fast path; the
+    mixed-routing forward must match the replicated forward."""
+    from ladi_vton_tpu.parallel.tp import tp_attention_mesh
+
+    mesh = _need_mesh(data=1, model=8)
+    unet = UNet2DCondition(TINY_UNET)  # heads per level: 4, 8, 8, 8
+    params = unet.init(jax.random.key(1), jnp.zeros((1, H // 8, W // 8, 31)),
+                       jnp.asarray([0]), jnp.zeros((1, 7, 64)))
+
+    x = jax.random.normal(jax.random.key(2), (4, H // 8, W // 8, 31))
+    t = jnp.asarray([7, 7, 7, 7])
+    ctx = jax.random.normal(jax.random.key(3), (4, 7, 64))
+    ref = unet.apply(params, x, t, ctx)
+
+    placed = tp_place(params, mesh)
+    with tp_attention_mesh(mesh):
+        out = jax.jit(unet.apply)(placed, x, t, ctx)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-4)
+
+
 @pytest.mark.slow
 def test_tensor_parallel_sampler_matches_single_device():
     from ladi_vton_tpu.diffusion.schedulers import DDIMScheduler

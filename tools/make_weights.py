@@ -176,6 +176,21 @@ def make_weights(out_dir="/tmp/weights", *, tiny: bool = False,
     ladi.mkdir(parents=True, exist_ok=True)
     export_torch_state(v, ladi / f"unet_{dataset}.pth",
                        key_map=unet_torch_key_map)
+    # stock UNet also under sd2/unet (diffusers layout) — the trainer
+    # CLIs load the pre-surgery weights from the SD-2 model dir
+    # (reference train_vto.py:243-258 from_pretrained)
+    p = W / "sd2" / "unet" / "diffusion_pytorch_model.bin"
+    p.parent.mkdir(parents=True, exist_ok=True)
+    if not p.exists():
+        export_torch_state(v, p, key_map=unet_torch_key_map)
+    _write_json(W / "sd2" / "unet" / "config.json", {
+        "_class_name": "UNet2DConditionModel",
+        "in_channels": unet_cfg.in_channels,
+        "block_out_channels": list(unet_cfg.block_out_channels),
+        "layers_per_block": unet_cfg.layers_per_block,
+        "head_dim": unet_cfg.head_dim,
+        "cross_attention_dim": unet_cfg.cross_attention_dim,
+    })
     if tiny:
         _write_json(ladi / f"unet_{dataset}.config.json", {
             "in_channels": 31,

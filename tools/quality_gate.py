@@ -90,6 +90,16 @@ def parse_args(argv=None):
     p.add_argument("--skip_generation", action="store_true",
                    help="reuse --output_dir images from a prior run and "
                         "only re-check the metric gates")
+    p.add_argument("--height", type=int, default=512)
+    p.add_argument("--width", type=int, default=384)
+    p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--smoke", action="store_true",
+                   help="smoke mode (tiny towers/fixtures): run the full "
+                        "arg-wiring -> cli.inference -> gate comparison, "
+                        "print gate outcomes, but always exit 0 — random "
+                        "weights cannot clear paper targets; this proves "
+                        "the runbook itself works before the one session "
+                        "that has real artifacts")
     args = p.parse_args(argv)
     if args.num_inference_steps is None:
         args.num_inference_steps = 20 if args.scheduler == "dpm" else 50
@@ -123,6 +133,9 @@ def main(argv=None):
             "--checkpoint_dir", args.checkpoint_dir,
             "--sd2_model_dir", args.sd2_model_dir,
             "--clip_vision_dir", args.clip_vision_dir,
+            "--height", str(args.height),
+            "--width", str(args.width),
+            "--num_workers", str(args.num_workers),
             "--compute_metrics",
         ]
         for flag in ("dresscode_dataroot", "vitonhd_dataroot"):
@@ -156,6 +169,10 @@ def main(argv=None):
         if not ok:
             failures.append(metric)
     if failures:
+        if args.smoke:
+            print(f"smoke mode: gate outcomes informational "
+                  f"(would FAIL: {failures})")
+            return
         sys.exit(f"quality gate FAILED: {failures}")
     print("quality gate PASSED")
 
